@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a simulated 8-device CPU mesh so that
+sharding / collective paths are exercised without TPU hardware (SURVEY.md §4).
+
+The axon sitecustomize registers the TPU backend at interpreter start and pins
+``jax_platforms``; we override it back to CPU here (before any backend is
+initialized) and force 8 virtual host devices.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(__file__))  # for `oracles` imports

@@ -1,0 +1,28 @@
+"""Renderer "model" registry — the reference's shader-selection-by-editing
+(``main.cpp:71-75``) becomes an explicit registry of render modes.
+
+``best_renderer()`` returns the fastest available implementation of the
+flagship compositing renderer for the current backend (Pallas kernel on TPU
+when available, fused-jnp otherwise); ``reference_renderer()`` always returns
+the jnp path with exact reference arithmetic.
+"""
+from __future__ import annotations
+
+import jax
+
+from ..ops.raycast import render_compositing
+
+
+def reference_renderer():
+    return render_compositing
+
+
+def best_renderer():
+    backend = jax.default_backend()
+    if backend == "tpu":
+        try:
+            from ..ops.pallas.raycast_kernel import render_compositing_pallas
+            return render_compositing_pallas
+        except (ImportError, NotImplementedError):
+            pass
+    return render_compositing

@@ -1,0 +1,87 @@
+"""Trilinear volume sampling with OpenGL texture semantics.
+
+Replicates GLSL ``texture(volume, uvw).r`` on a ``GL_RED / GL_UNSIGNED_BYTE`` 3D
+texture with ``GL_LINEAR`` filtering (``VolumeReader.h:123-127``): normalized
+coordinates in [0,1], texel centers at ``(i + 0.5) / N``, and byte values
+normalized by 255.
+
+Wrap mode: the reference *requests* ``GL_CLAMP`` (``VolumeReader.h:120-122``) but
+in a 3.3 core profile that enum is invalid, so the driver leaves the default
+``GL_REPEAT`` in place.  We default to the intended ``"clamp"`` (clamp-to-edge)
+and offer ``"repeat"`` for strict parity with the actual GL behavior; samples are
+only taken strictly inside (0,1) (``raycaster.frag:53``) so the two differ only
+within half a texel of the faces.
+
+The volume array is indexed ``[z, y, x]`` (C-order match of the reference's
+``x + X*y + X*Y*z`` flat layout, ``VolumeKdTree_recover.cpp:4-6``).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["sample_trilinear", "as_normalized_volume"]
+
+
+def as_normalized_volume(volume) -> jnp.ndarray:
+    """uint8 volume (Z, Y, X) -> float32 normalized to [0, 1]."""
+    v = jnp.asarray(volume)
+    if v.dtype == jnp.uint8:
+        v = v.astype(jnp.float32) * (1.0 / 255.0)
+    return v.astype(jnp.float32)
+
+
+def _wrap_index(i, n, mode: str):
+    if mode == "clamp":
+        return jnp.clip(i, 0, n - 1)
+    elif mode == "repeat":
+        return jnp.remainder(i, n)
+    raise ValueError(f"unknown wrap mode: {mode}")
+
+
+def sample_trilinear(volume: jnp.ndarray, uvw: jnp.ndarray, wrap: str = "clamp") -> jnp.ndarray:
+    """Trilinearly sample ``volume`` (Z, Y, X) float32 at ``uvw`` (..., 3) in [0,1].
+
+    ``uvw[..., 0]`` is x (fastest axis), matching GLSL's ``vec3`` ordering.
+    Returns (...,) float32 samples.
+    """
+    Z, Y, X = volume.shape
+    dims = jnp.array([X, Y, Z], dtype=jnp.float32)
+
+    # GL_REPEAT wraps the *coordinate* before the texel math; GL_CLAMP_TO_EDGE
+    # clamps the fetched indices.  For repeat, wrap uvw into [0,1) first.
+    if wrap == "repeat":
+        uvw = uvw - jnp.floor(uvw)
+
+    t = uvw * dims - 0.5  # texel-space coordinate of the sample
+    i0f = jnp.floor(t)
+    frac = t - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+
+    x0 = _wrap_index(i0[..., 0], X, wrap)
+    x1 = _wrap_index(i1[..., 0], X, wrap)
+    y0 = _wrap_index(i0[..., 1], Y, wrap)
+    y1 = _wrap_index(i1[..., 1], Y, wrap)
+    z0 = _wrap_index(i0[..., 2], Z, wrap)
+    z1 = _wrap_index(i1[..., 2], Z, wrap)
+
+    fx = frac[..., 0]
+    fy = frac[..., 1]
+    fz = frac[..., 2]
+
+    c000 = volume[z0, y0, x0]
+    c100 = volume[z0, y0, x1]
+    c010 = volume[z0, y1, x0]
+    c110 = volume[z0, y1, x1]
+    c001 = volume[z1, y0, x0]
+    c101 = volume[z1, y0, x1]
+    c011 = volume[z1, y1, x0]
+    c111 = volume[z1, y1, x1]
+
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return c0 + (c1 - c0) * fz
