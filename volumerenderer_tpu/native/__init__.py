@@ -1,0 +1,73 @@
+"""ctypes bindings for the native codec kernels (see ``kdtree_native.cpp``).
+
+The library is built on demand with ``make`` (g++); if unavailable, callers
+fall back to the pure-Python implementations.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libkdtree_native.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # no toolchain — caller falls back to Python
+            raise OSError(f"native build failed: {e}") from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.seed_level_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+    lib.seed_level_f64.restype = None
+    lib.encode_level_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
+    lib.encode_level_i32.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+class kdtree_native:
+    """Namespace matching the import in ``codecs.kdtree``."""
+
+    @staticmethod
+    def seed_level(truth: np.ndarray, parent: np.ndarray):
+        lib = _load()
+        truth = np.ascontiguousarray(truth, dtype=np.float64)
+        parent = np.ascontiguousarray(parent, dtype=np.float64)
+        out = np.zeros(2, dtype=np.float64)
+        lib.seed_level_f64(
+            truth.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            parent.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            truth.shape[0],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return float(out[0]), float(out[1])
+
+    @staticmethod
+    def encode_level(truth: np.ndarray, parent: np.ndarray, distance: int):
+        lib = _load()
+        truth = np.ascontiguousarray(truth, dtype=np.uint8)
+        parent = np.ascontiguousarray(parent, dtype=np.int32)
+        n = truth.shape[0]
+        codes = np.empty(n, dtype=np.uint8)
+        recon = np.empty(n, dtype=np.int32)
+        sum_sq = lib.encode_level_i32(
+            truth.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, int(distance),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            recon.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return codes, recon, int(sum_sq)
