@@ -1,0 +1,50 @@
+"""Compressed-volume renderer: device-side level-cut decode feeding the ray
+march — the working realization of the reference's unfinished compressed-domain
+path (``isosurface_compressed.frag`` outputs constant gray; ``main.cpp:203-237``
+upload paths are commented out).  Here decode + render both run on device:
+HBM-resident packed codes -> dense level-cut volume -> march, with the decode
+jit-fused and the dense volume cacheable across frames per cut depth.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..codecs.device import DeviceKdTree, level_cut_device, to_device
+from ..codecs.kdtree import KdTree
+from ..ops.raycast import render_compositing
+from ..ops.isosurface import render_isosurface
+from ..ops.sampling import as_normalized_volume
+
+__all__ = ["CompressedRenderer"]
+
+
+class CompressedRenderer:
+    """Render directly from a compressed kd-tree.
+
+    The decoded level cut is cached per cut depth (the reference decodes once
+    and re-uploads the texture, ``main.cpp:280-290``; we keep everything in
+    HBM).  Progressive refinement = rendering coarser cuts first.
+    """
+
+    def __init__(self, tree: KdTree):
+        self.tree = tree
+        self.dtree, self.spec = to_device(tree)
+        self._cache: dict[int, jnp.ndarray] = {}
+
+    def volume_at(self, cut_depth: int | None = None) -> jnp.ndarray:
+        cut = self.spec["max_depth"] if cut_depth is None else int(cut_depth)
+        if cut not in self._cache:
+            decoded = level_cut_device(self.dtree, self.spec, cut)
+            self._cache[cut] = as_normalized_volume(decoded)
+        return self._cache[cut]
+
+    def render(self, rays, cut_depth: int | None = None, mode: str = "compositing",
+               **kwargs):
+        vol = self.volume_at(cut_depth)
+        if mode == "compositing":
+            return render_compositing(vol, rays.entry_uv, rays.direction,
+                                      rays.hit, **kwargs)
+        elif mode == "isosurface":
+            return render_isosurface(vol, rays.entry_uv, rays.direction,
+                                     rays.hit, **kwargs)
+        raise ValueError(f"unknown mode {mode}")
