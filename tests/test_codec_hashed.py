@@ -1,0 +1,60 @@
+"""HashedKdtree (Morton-hash) codec tests."""
+import numpy as np
+
+from volumerenderer_tpu.codecs import hashed as H
+from volumerenderer_tpu.io.synthetic import sphere_volume, turbulence_volume
+
+
+def test_uniform_volume_reconstructs_within_tolerance():
+    # Reference quirk: the residual-based distance sums make a uniform volume
+    # seed Δ=0 at every level (the first node encodes exactly, accumulating a
+    # zero residual), so reconstruction happens entirely through pass-2 branch
+    # growth with the 64/32/16/8 ladder: truth 77 -> 64+16 = 80 (err 3 <= tol).
+    vol = np.full((8, 8, 8), 77, dtype=np.uint8)
+    tree = H.build(vol, tolerance=4)
+    assert int(tree.distance_map[0]) == 0
+    dec = H.level_cut(tree)
+    assert np.abs(dec.astype(int) - 77).max() <= 4
+
+
+def test_reconstruction_accuracy():
+    vol = turbulence_volume((16, 16, 16), seed=13)
+    tree = H.build(vol, tolerance=4)
+    dec = H.level_cut(tree)
+    err = np.abs(dec.astype(int) - vol.astype(int))
+    # pass-2 splits any erroneous leaf above orig depth; growth caps at Δ=8,
+    # so errors stay moderate (the hashed codec is lossier than the kd-tree)
+    assert err.mean() < 8.0, err.mean()
+    assert tree.num_collisions > 0  # undersized table must collide
+
+
+def test_level_cut_coarse():
+    vol = sphere_volume((16, 16, 16))
+    tree = H.build(vol)
+    coarse = H.level_cut(tree, cut_depth=4)
+    assert coarse.shape == vol.shape
+    assert len(np.unique(coarse)) <= 16
+
+
+def test_save_open_roundtrip(tmp_path):
+    vol = turbulence_volume((8, 8, 8), seed=2)
+    tree = H.build(vol)
+    p = str(tmp_path / "h.bin")
+    H.save(tree, p)
+    back = H.open_tree(p)
+    assert back.tree_depth == tree.tree_depth
+    assert back.hash_mask == tree.hash_mask
+    np.testing.assert_array_equal(back.distance_map, tree.distance_map)
+    np.testing.assert_array_equal(back.tree_data, tree.tree_data)
+    np.testing.assert_array_equal(back.tree_structure, tree.tree_structure)
+    np.testing.assert_array_equal(H.level_cut(back), H.level_cut(tree))
+
+
+def test_growth_extends_depth():
+    # high-frequency volume with tight tolerance forces branch growth
+    rng = np.random.default_rng(0)
+    vol = rng.integers(0, 256, (8, 8, 8)).astype(np.uint8)
+    tree = H.build(vol, tolerance=1)
+    assert tree.tree_depth >= tree.orig_depth
+    dec = H.level_cut(tree)
+    assert dec.shape == vol.shape
