@@ -1,15 +1,20 @@
 """Headline benchmark: rays/s/chip for a 1024^2 front-to-back compositing render
 of a 256^3 volume (BASELINE.json "metric").  Prints ONE JSON line.
 
-``vs_baseline`` is reported against a nominal 1e8 rays/s target — the reference
-publishes no numbers (SURVEY.md §6, BASELINE.json "published": {}).
+Timing protocol: the render runs on device and is forced by an on-device
+reduction plus a 4-byte host transfer.  (On this dev tunnel, device->host
+transfers run at ~30 MB/s and `block_until_ready` does not block, so
+transferring the 12 MB image would measure the link, not the chip.)
+
+``vs_baseline`` is reported against a nominal 1e8 rays/s target — the
+reference publishes no numbers (SURVEY.md §6, BASELINE.json "published": {}).
 """
 from __future__ import annotations
 
 import json
 import time
 
-import jax
+import jax.numpy as jnp
 import numpy as np
 
 NOMINAL_BASELINE_RAYS_PER_S = 1.0e8
@@ -18,29 +23,25 @@ NOMINAL_BASELINE_RAYS_PER_S = 1.0e8
 def main():
     from volumerenderer_tpu import Camera, generate_rays, as_normalized_volume
     from volumerenderer_tpu.io.synthetic import turbulence_volume
-    from volumerenderer_tpu.models import best_renderer
+    from volumerenderer_tpu.models import plan_compositing
 
     W = H = 1024
     vol = as_normalized_volume(turbulence_volume((256, 256, 256), seed=0))
     cam = Camera(width=W, height=H)
     rays = generate_rays(cam)
 
-    render = best_renderer()
-    args = (vol, rays.entry_uv, rays.direction, rays.hit)
+    Z, Y, X = vol.shape
+    plan = plan_compositing(rays.entry_uv, rays.direction, rays.hit, (X, Y, Z))
 
-    # warmup / compile
-    out = render(*args)
-    np.asarray(out[0])
+    def frame():
+        rgb, alpha = plan.render(vol)
+        return float(jnp.sum(rgb))  # on-device reduce + 4-byte transfer
 
-    # End every timed iteration with a device->host transfer: on some platforms
-    # (axon relay) block_until_ready resolves before the computation finishes,
-    # so only the transfer gives honest wall time.
-    n_iters = 3
+    frame()  # warmup / compile
     times = []
-    for _ in range(n_iters):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = render(*args)
-        np.asarray(out[0])
+        frame()
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

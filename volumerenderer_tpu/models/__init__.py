@@ -26,3 +26,10 @@ def best_renderer():
         except (ImportError, NotImplementedError):
             pass
     return render_compositing
+
+
+def plan_compositing(entry_uv, direction, hit, dims, max_samples: int = 300):
+    """Plan-once / render-many: on TPU uses the Pallas tile-tube kernel when
+    the configuration supports it, else the jnp renderer (same API)."""
+    from ..ops.pallas.raycast_kernel import CompositingPlan
+    return CompositingPlan(entry_uv, direction, hit, dims, max_samples)

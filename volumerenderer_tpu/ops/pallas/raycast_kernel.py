@@ -1,0 +1,368 @@
+"""Pallas TPU ray-march kernel — the fast path for the front-to-back
+compositing renderer (exact reference semantics, ``raycaster.frag:18-86``).
+
+Design (docs/PERF_NOTES.md "tile-tube"): the image is cut into 16x8-pixel
+tiles of 128 rays (one vreg lane per ray).  Rays in a tile are coherent, so at
+any step their 2x2x2 trilinear footprints fit a small axis-aligned window.
+Per step the kernel:
+
+1. computes texel coordinates and clamped neighbor indices on the VPU;
+2. derives the window origin from cross-lane min-reductions and DMAs a
+   (4, 16, X) bf16 slab from the HBM-resident volume into VMEM (last two dims
+   honor the (8, 128) tiling constraints);
+3. builds the 4-tap (z, y) trilinear weights against a sublane iota over the
+   64 slab rows, lane-gathers the two x neighbors per ray
+   (``take_along_axis`` on 128-lane chunks — the only per-lane dynamic
+   addressing primitive on TPU), and reduces over rows;
+4. composites with latched alive masks; a ``while_loop`` ends the tile as soon
+   as every ray has exited the cube or saturated (``raycaster.frag:53,77``).
+
+There is no XLA gather anywhere — per-element gathers run ~3 orders of
+magnitude slower than Mosaic's lane gather on this hardware (measured in
+docs/PERF_NOTES.md).
+
+Restrictions (checked by the host prepass, which falls back to the jnp
+renderer): X in {128, 256}; Y multiple of 16; Z >= 4; per-(tile, step) z-span
+of the footprint <= 4 and y-span <= 16 within an 8-aligned window (holds for
+typical cameras; violated only by extreme tile divergence).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..raycast import ALPHA_SCALE, EARLY_OUT_ALPHA, MAX_SAMPLES, apply_reference_transfer
+
+TILE_H = 8    # pixels per tile, rows
+TILE_W = 16   # pixels per tile, cols  -> 128 rays = one vreg of lanes
+WIN_Z = 4
+WIN_Y = 16
+BIG = 1 << 20
+
+
+T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
+
+
+def _march_kernel(rays_ref, vol_ref, out_ref, slab, state, sem, *,
+                  dims, max_samples):
+    for tile in range(T_PER):
+        _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile,
+                        dims=dims, max_samples=max_samples)
+
+
+def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
+                    dims, max_samples):
+    X, Y, Z = dims
+    n_chunks = X // 128
+    R = WIN_Z * WIN_Y
+
+    # Vector state lives in VMEM scratch (rows: 0 px, 1 py, 2 pz, 3 color,
+    # 4 alpha, 5 alive) — Mosaic cannot yield sub-tile vector carries, so the
+    # while_loop carries only scalars.  The volume slab is double-buffered:
+    # the DMA for step t+1 (ray positions are analytic) overlaps the sampling
+    # and compositing of step t.
+    state[0:3, :] = rays_ref[tile, 0:3, :]
+    state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
+    state[5:6, :] = rays_ref[tile, 6:7, :]
+
+    fdims = (jnp.float32(X), jnp.float32(Y), jnp.float32(Z))
+
+    def neighbors(px, py, pz):
+        tx = px * fdims[0] - 0.5
+        ty = py * fdims[1] - 0.5
+        tz = pz * fdims[2] - 0.5
+        x0f = jnp.floor(tx)
+        y0f = jnp.floor(ty)
+        z0f = jnp.floor(tz)
+        idx = dict(
+            x0=jnp.clip(x0f.astype(jnp.int32), 0, X - 1),
+            x1=jnp.clip(x0f.astype(jnp.int32) + 1, 0, X - 1),
+            y0=jnp.clip(y0f.astype(jnp.int32), 0, Y - 1),
+            y1=jnp.clip(y0f.astype(jnp.int32) + 1, 0, Y - 1),
+            z0=jnp.clip(z0f.astype(jnp.int32), 0, Z - 1),
+            z1=jnp.clip(z0f.astype(jnp.int32) + 1, 0, Z - 1),
+            fx=tx - x0f, fy=ty - y0f, fz=tz - z0f,
+        )
+        return idx
+
+    def origins(idx, mask):
+        oz = jnp.min(jnp.where(mask, idx["z0"], BIG))
+        oy = jnp.min(jnp.where(mask, idx["y0"], BIG))
+        oz = jnp.clip(oz, 0, Z - WIN_Z)
+        oy = pl.multiple_of(jnp.clip((oy // 8) * 8, 0, Y - WIN_Y), 8)
+        return oz, oy
+
+    def start_dma(slot, oz, oy):
+        cp = pltpu.make_async_copy(
+            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
+            slab.at[slot], sem.at[slot])
+        cp.start()
+
+    def wait_dma(slot, oz, oy):
+        pltpu.make_async_copy(
+            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
+            slab.at[slot], sem.at[slot]).wait()
+
+    # prologue: position of step 0, issue its DMA
+    p0x = state[0:1, :] + rays_ref[tile, 3:4, :]
+    p0y = state[1:2, :] + rays_ref[tile, 4:5, :]
+    p0z = state[2:3, :] + rays_ref[tile, 5:6, :]
+    inside0 = ((p0x > 0.0) & (p0x < 1.0) & (p0y > 0.0) & (p0y < 1.0)
+               & (p0z > 0.0) & (p0z < 1.0))
+    alive0 = (state[5:6, :] > 0.5) & inside0
+    idx0 = neighbors(p0x, p0y, p0z)
+    oz0, oy0 = origins(idx0, alive0)
+    start_dma(0, oz0, oy0)
+    state[0:1, :] = p0x
+    state[1:2, :] = p0y
+    state[2:3, :] = p0z
+    state[5:6, :] = jnp.where(alive0, 1.0, 0.0)
+
+    def body(carry):
+        t, _, oz_cur, oy_cur = carry
+        oy_cur = pl.multiple_of(oy_cur, 8)  # hint lost through the loop carry
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+        px = state[0:1, :]
+        py = state[1:2, :]
+        pz = state[2:3, :]
+        color = state[3:4, :]
+        alpha = state[4:5, :]
+        alive = state[5:6, :] > 0.5
+
+        # issue next step's DMA before touching the current slab
+        pnx = px + rays_ref[tile, 3:4, :]
+        pny = py + rays_ref[tile, 4:5, :]
+        pnz = pz + rays_ref[tile, 5:6, :]
+        inside_n = ((pnx > 0.0) & (pnx < 1.0) & (pny > 0.0) & (pny < 1.0)
+                    & (pnz > 0.0) & (pnz < 1.0))
+        alive_n = alive & inside_n
+        idx_n = neighbors(pnx, pny, pnz)
+        oz_n, oy_n = origins(idx_n, alive_n)
+        start_dma(nslot, oz_n, oy_n)
+
+        idx = neighbors(px, py, pz)
+        zl0 = jnp.broadcast_to(idx["z0"] - oz_cur, (R, 128))
+        zl1 = jnp.broadcast_to(idx["z1"] - oz_cur, (R, 128))
+        yl0 = jnp.broadcast_to(idx["y0"] - oy_cur, (R, 128))
+        yl1 = jnp.broadcast_to(idx["y1"] - oy_cur, (R, 128))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        iz = iota // WIN_Y
+        iy = iota % WIN_Y
+        fz_b = jnp.broadcast_to(idx["fz"], (R, 128))
+        fy_b = jnp.broadcast_to(idx["fy"], (R, 128))
+        wz = (jnp.where(iz == zl0, 1.0, 0.0) * (1.0 - fz_b)
+              + jnp.where(iz == zl1, 1.0, 0.0) * fz_b)
+        wy = (jnp.where(iy == yl0, 1.0, 0.0) * (1.0 - fy_b)
+              + jnp.where(iy == yl1, 1.0, 0.0) * fy_b)
+        # at clamped edges zl0 == zl1 and the two terms sum to 1 automatically
+        w = wz * wy
+
+        wait_dma(slot, oz_cur, oy_cur)
+        rows = slab[slot].reshape(R, X).astype(jnp.float32)
+
+        def lane_gather(xi):
+            xi_b = jnp.broadcast_to(xi, (R, 128))
+            out = jnp.take_along_axis(
+                rows[:, 0:128], jnp.clip(xi_b, 0, 127), axis=1)
+            for c in range(1, n_chunks):
+                cc = jnp.take_along_axis(
+                    rows[:, c * 128:(c + 1) * 128],
+                    jnp.clip(xi_b - c * 128, 0, 127), axis=1)
+                out = jnp.where(xi_b >= c * 128, cc, out)
+            return out
+
+        g0 = lane_gather(idx["x0"])
+        g1 = lane_gather(idx["x1"])
+        fx_b = jnp.broadcast_to(idx["fx"], (R, 128))
+        v = g0 * (1.0 - fx_b) + g1 * fx_b
+        smp = jnp.sum(w * v, axis=0, keepdims=True) * (1.0 / 255.0)
+
+        prev_alpha = smp - smp * alpha
+        color = jnp.where(alive, color + prev_alpha * smp, color)
+        alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
+        alive = alive & (alpha <= EARLY_OUT_ALPHA)
+        alive_next = alive & inside_n
+
+        state[0:1, :] = pnx
+        state[1:2, :] = pny
+        state[2:3, :] = pnz
+        state[3:4, :] = color
+        state[4:5, :] = alpha
+        state[5:6, :] = jnp.where(alive_next, 1.0, 0.0)
+        return t + 1, jnp.any(alive_next), oz_n, oy_n
+
+    def cond(carry):
+        t, any_alive, _, _ = carry
+        return (t < max_samples) & any_alive
+
+    t_end, _, oz_end, oy_end = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.any(alive0), oz0, oy0))
+    # drain the last prefetched DMA so semaphores are clean for the next tile
+    wait_dma(jax.lax.rem(t_end, 2), oz_end, pl.multiple_of(oy_end, 8))
+    out_ref[tile, 0:2, :] = state[3:5, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
+def _launch(rays_packed, vol_scaled, dims, max_samples):
+    n_tiles = rays_packed.shape[0]
+    assert n_tiles % T_PER == 0, (n_tiles, T_PER)
+    kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // T_PER,),
+        in_specs=[
+            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN_Z, WIN_Y, dims[0]), jnp.bfloat16),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(rays_packed, vol_scaled)
+    return out[:, 0, :], out[:, 1, :]
+
+
+def _pack_rays(entry_uv, direction, hit, dims):
+    """(H, W, 3)+(H, W) -> (tiles, 8, 128) f32: rows 0-2 entry, 3-5 dirStep,
+    6 hit, 7 pad.  Ray order inside a tile: TILE_H x TILE_W pixels row-major."""
+    H, W, _ = entry_uv.shape
+    X, Y, Z = dims
+    step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
+
+    def tile_lanes(a):  # (H, W) -> (tiles, 128)
+        t = a.reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
+        return t.transpose(0, 2, 1, 3).reshape(-1, TILE_H * TILE_W)
+
+    rows = [tile_lanes(entry_uv[..., i]) for i in range(3)]
+    rows += [tile_lanes(step[..., i]) for i in range(3)]
+    rows.append(tile_lanes(hit.astype(jnp.float32)))
+    rows.append(jnp.zeros_like(rows[0]))
+    return jnp.stack(rows, axis=1)  # (tiles, 8, 128)
+
+
+def _untile(a, H, W):
+    t = a.reshape(H // TILE_H, W // TILE_W, TILE_H, TILE_W)
+    return t.transpose(0, 2, 1, 3).reshape(H, W)
+
+
+def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
+    """Host prepass: verify every (tile, step) footprint fits the (4, 16)
+    window.  Pure camera math (no volume access)."""
+    X, Y, Z = dims
+    H, W, _ = entry_uv.shape
+    step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
+
+    def tile_lanes(a):
+        t = a.reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
+        return t.transpose(0, 2, 1, 3).reshape(-1, TILE_H * TILE_W)
+
+    e = jnp.stack([tile_lanes(entry_uv[..., i]) for i in range(3)], -1)
+    d = jnp.stack([tile_lanes(step[..., i]) for i in range(3)], -1)
+    hv = tile_lanes(hit)
+
+    fdims = jnp.array([X, Y, Z], jnp.float32)
+
+    def scan_step(carry, t):
+        max_span = carry
+        pos = e + (t + 1.0) * d
+        inside = jnp.all((pos > 0.0) & (pos < 1.0), axis=-1) & hv
+        tex = pos * fdims - 0.5
+        i0 = jnp.floor(tex).astype(jnp.int32)
+        lo = jnp.clip(i0, 0, jnp.array([X - 1, Y - 1, Z - 1]))
+        hi = jnp.clip(i0 + 1, 0, jnp.array([X - 1, Y - 1, Z - 1]))
+        big = jnp.int32(BIG)
+        mn = jnp.min(jnp.where(inside[..., None], lo, big), axis=1)
+        mx = jnp.max(jnp.where(inside[..., None], hi, -big), axis=1)
+        any_in = jnp.any(inside, axis=1)
+        # y window must fit after 8-alignment of the origin
+        span_y = jnp.where(any_in, mx[:, 1] - (mn[:, 1] // 8) * 8 + 1, 0)
+        span_z = jnp.where(any_in, mx[:, 2] - mn[:, 2] + 1, 0)
+        cur = jnp.maximum(jnp.max(span_z), 0)
+        cur_y = jnp.maximum(jnp.max(span_y), 0)
+        return jnp.maximum(max_span, jnp.stack([cur_y, cur])), None
+
+    max_spans, _ = jax.lax.scan(scan_step, jnp.zeros(2, jnp.int32),
+                                jnp.arange(max_samples, dtype=jnp.float32))
+    span_y, span_z = int(max_spans[0]), int(max_spans[1])
+    return span_z <= WIN_Z and span_y <= WIN_Y
+
+
+def render_compositing_pallas(volume, entry_uv, direction, hit,
+                              max_samples: int = MAX_SAMPLES, wrap: str = "clamp",
+                              check_spans: bool = True):
+    """Drop-in fast replacement for ``render_compositing`` (clamp wrap only).
+
+    ``volume`` is (Z, Y, X) float32 in [0, 1] (converted to scaled bf16 for
+    the kernel).  Falls back to the jnp renderer when the volume shape or the
+    camera's tile footprints are unsupported.
+    """
+    from ..raycast import render_compositing
+
+    Z, Y, X = volume.shape
+    H, W, _ = entry_uv.shape
+    dims = (X, Y, Z)
+    unsupported = (
+        wrap != "clamp" or X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
+        or H % TILE_H != 0 or W % TILE_W != 0
+    )
+    if not unsupported and check_spans:
+        unsupported = not spans_ok(entry_uv, direction, hit, dims, max_samples)
+    if unsupported:
+        return render_compositing(volume, entry_uv, direction, hit,
+                                  max_samples, wrap)
+
+    vol_bf16 = (volume * 255.0).astype(jnp.bfloat16)
+    rays = _pack_rays(entry_uv, direction, hit, dims)
+    color, alpha = _launch(rays, vol_bf16, dims, max_samples)
+    color = _untile(color, H, W)
+    alpha = _untile(alpha, H, W)
+    return apply_reference_transfer(color, alpha), alpha
+
+
+class CompositingPlan:
+    """Plan-once / render-many API: precomputes the tile packing and the span
+    prepass for a fixed camera (ray bundle), so per-frame cost is just the
+    kernel launch.  Falls back to the jnp renderer when the kernel cannot
+    serve the configuration."""
+
+    def __init__(self, entry_uv, direction, hit, dims, max_samples: int = MAX_SAMPLES):
+        self.entry_uv = entry_uv
+        self.direction = direction
+        self.hit = hit
+        self.dims = tuple(int(d) for d in dims)
+        self.max_samples = int(max_samples)
+        X, Y, Z = self.dims
+        H, W, _ = entry_uv.shape
+        self.shape = (H, W)
+        self.use_kernel = not (
+            X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
+            or H % TILE_H != 0 or W % TILE_W != 0
+        ) and spans_ok(entry_uv, direction, hit, self.dims, max_samples)
+        if self.use_kernel:
+            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
+
+    def render(self, volume):
+        """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha)."""
+        from ..raycast import render_compositing
+
+        H, W = self.shape
+        if not self.use_kernel:
+            return render_compositing(volume, self.entry_uv, self.direction,
+                                      self.hit, self.max_samples)
+        vol_bf16 = (volume * 255.0).astype(jnp.bfloat16)
+        color, alpha = _launch(self.rays_packed, vol_bf16, self.dims,
+                               self.max_samples)
+        color = _untile(color, H, W)
+        alpha = _untile(alpha, H, W)
+        return apply_reference_transfer(color, alpha), alpha
