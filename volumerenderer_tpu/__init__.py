@@ -10,6 +10,7 @@ end-to-end and sharded across TPU meshes with ``shard_map``.
 """
 
 from .camera import Camera, RayBundle, generate_rays
+from .config import AppConfig, CodecConfig, DatasetConfig, RenderConfig
 from .ops.sampling import sample_trilinear, as_normalized_volume
 from .ops.raycast import composite_march, render_compositing
 from .ops.isosurface import render_isosurface
@@ -17,6 +18,10 @@ from .ops.isosurface import render_isosurface
 __version__ = "0.1.0"
 
 __all__ = [
+    "AppConfig",
+    "CodecConfig",
+    "DatasetConfig",
+    "RenderConfig",
     "Camera",
     "RayBundle",
     "generate_rays",

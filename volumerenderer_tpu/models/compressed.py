@@ -18,6 +18,26 @@ from ..ops.sampling import as_normalized_volume
 __all__ = ["CompressedRenderer"]
 
 
+class DenseRenderer:
+    """Same render API over an uncompressed (Z, Y, X) volume (e.g. decoded
+    from a checkpoint file without rebuilding the tree)."""
+
+    def __init__(self, volume):
+        self._vol = as_normalized_volume(volume)
+
+    def volume_at(self, cut_depth=None):
+        return self._vol
+
+    def render(self, rays, cut_depth=None, mode: str = "compositing", **kwargs):
+        if mode == "compositing":
+            return render_compositing(self._vol, rays.entry_uv, rays.direction,
+                                      rays.hit, **kwargs)
+        elif mode == "isosurface":
+            return render_isosurface(self._vol, rays.entry_uv, rays.direction,
+                                     rays.hit, **kwargs)
+        raise ValueError(f"unknown mode {mode}")
+
+
 class CompressedRenderer:
     """Render directly from a compressed kd-tree.
 
