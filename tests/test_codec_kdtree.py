@@ -150,3 +150,32 @@ def test_native_seed_matches_python():
     np.testing.assert_array_equal(codes_n, codes_v)
     np.testing.assert_array_equal(recon_n, recon_v)
     assert sq_n == int(np.sum(min_err * min_err, dtype=np.int64))
+
+
+def test_error_queries():
+    vol = turbulence_volume((16, 16, 16), seed=1)
+    tree = K.build(vol, tolerance=2, max_epochs=2)
+    dec = K.level_cut(tree, tree.max_depth)
+    mx = K.measure_max_error(dec, vol)
+    mn = K.measure_mean_error(dec, vol)
+    err_vol = K.query_error(dec, vol)
+    assert mx == int(np.abs(dec.astype(int) - vol.astype(int)).max())
+    assert 0 <= mn <= mx
+    assert err_vol.dtype == np.uint8 and err_vol.max() == mx
+
+
+def test_native_decode_matches_python():
+    vol = turbulence_volume((16, 16, 16), seed=19)
+    tree = K.build(vol, tolerance=2, max_epochs=2)
+    pre = K.to_preorder(tree)
+    for cut in (tree.orig_depth, tree.max_depth):
+        py = decode_preorder(pre, tree.distance_map, 16, 16, 16,
+                             tree.orig_depth, tree.max_depth, cut,
+                             use_native=False)
+        try:
+            nat = decode_preorder(pre, tree.distance_map, 16, 16, 16,
+                                  tree.orig_depth, tree.max_depth, cut,
+                                  use_native=True)
+        except OSError:
+            pytest.skip("native toolchain unavailable")
+        np.testing.assert_array_equal(nat, py)

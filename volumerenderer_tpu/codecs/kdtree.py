@@ -583,3 +583,23 @@ def level_cut(tree: KdTree, cut_depth: int | None = None) -> np.ndarray:
             frozen = frozen | (codes == 3) | (codes == NO_NODE)
 
     return leaves_to_volume(scalars.astype(np.uint8), tree.dims, tree.schedule)
+
+
+# --------------------------------------------------------------------------- #
+# error queries (VolumeKdTree_recover.cpp:386-413)
+# --------------------------------------------------------------------------- #
+
+def measure_max_error(decoded: np.ndarray, original: np.ndarray) -> int:
+    """Max |decoded - original| (``measureMaxError``, ``:386-392``)."""
+    return int(np.abs(decoded.astype(np.int32) - original.astype(np.int32)).max())
+
+
+def measure_mean_error(decoded: np.ndarray, original: np.ndarray) -> float:
+    """Mean L1 error (``measureMeanError``, ``:394-401``)."""
+    return float(np.abs(decoded.astype(np.float64) - original.astype(np.float64)).mean())
+
+
+def query_error(decoded: np.ndarray, original: np.ndarray) -> np.ndarray:
+    """|error| as a renderable uint8 volume (``queryError``, ``:404-411``) —
+    the reference's error-field visualization path (``main.cpp:285-292``)."""
+    return np.abs(decoded.astype(np.int32) - original.astype(np.int32)).astype(np.uint8)

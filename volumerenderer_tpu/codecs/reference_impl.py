@@ -272,7 +272,7 @@ class SequentialKdTree:
 
 def decode_preorder(preorder: np.ndarray, distance_map: np.ndarray,
                     X: int, Y: int, Z: int, orig_depth: int, max_depth: int,
-                    cut_depth: int) -> np.ndarray:
+                    cut_depth: int, use_native: bool | None = None) -> np.ndarray:
     """Stack-machine transliteration of ``levelCut``
     (``VolumeKdTree_recover.cpp:726-835``), decoding a *preorder* code stream
     (as stored in the reference file format) into a dense (Z, Y, X) volume.
@@ -285,6 +285,16 @@ def decode_preorder(preorder: np.ndarray, distance_map: np.ndarray,
     structure and instead *freeze* scalar updates beyond the cut — identical
     output at ``cut == maxTreeDepth`` and the intended truncation semantics
     below it (matching ``kdtree.level_cut``)."""
+    if use_native is None:
+        use_native = X * Y * Z > (1 << 15)  # python walk is fine for tiny trees
+    if use_native:
+        try:
+            from ..native import kdtree_native
+            return kdtree_native.decode_preorder(
+                preorder, distance_map, X, Y, Z, orig_depth, max_depth, cut_depth)
+        except (ImportError, OSError):
+            pass
+
     out = np.zeros(X * Y * Z, dtype=np.uint8)
     num_active = len(preorder)
 

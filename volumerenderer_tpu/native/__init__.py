@@ -36,6 +36,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32)]
     lib.encode_level_i32.restype = ctypes.c_int64
+    lib.decode_preorder_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.decode_preorder_native.restype = None
     _lib = lib
     return lib
 
@@ -55,6 +62,24 @@ class kdtree_native:
             truth.shape[0],
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return float(out[0]), float(out[1])
+
+    @staticmethod
+    def decode_preorder(preorder: np.ndarray, distance_map: np.ndarray,
+                        X: int, Y: int, Z: int, orig_depth: int,
+                        max_depth: int, cut_depth: int) -> np.ndarray:
+        from ..utils.bitarray import pack2_np
+
+        lib = _load()
+        packed = np.ascontiguousarray(pack2_np(preorder))
+        dm = np.ascontiguousarray(distance_map, dtype=np.uint8)
+        out = np.zeros(X * Y * Z, dtype=np.uint8)
+        lib.decode_preorder_native(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(preorder),
+            dm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            X, Y, Z, orig_depth, max_depth, cut_depth,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.reshape(Z, Y, X)
 
     @staticmethod
     def encode_level(truth: np.ndarray, parent: np.ndarray, distance: int):

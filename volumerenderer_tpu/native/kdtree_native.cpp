@@ -70,3 +70,85 @@ int64_t encode_level_i32(const uint8_t* truth, const int32_t* parent,
 }
 
 }  // extern "C"
+
+// Preorder stack-machine decoder (levelCut, VolumeKdTree_recover.cpp:726-835,
+// with frozen-scalar semantics below the cut — see codecs/reference_impl.py).
+// The preorder walk is inherently sequential; at native speed it makes
+// arbitrary-dimension (non-power-of-two) volumes practical to decode.
+extern "C" void decode_preorder_native(
+    const uint8_t* preorder, int64_t num_active, const uint8_t* distance_map,
+    int64_t X, int64_t Y, int64_t Z, int32_t orig_depth, int32_t max_depth,
+    int32_t cut_depth, uint8_t* out) {
+
+    struct Frame {
+        int64_t idx;
+        int32_t depth;
+        int32_t scalar;
+        int64_t mn[3];
+        int64_t mx[3];
+    };
+    // stack depth bounded by max_depth + 2
+    Frame* stack = new Frame[max_depth + 4];
+    int top = 0;
+    stack[0] = Frame{0, 0, (int32_t)distance_map[0], {0, 0, 0}, {X, Y, Z}};
+
+    auto child_scalar = [&](int32_t scalar, int code, int32_t parent_depth) {
+        const int32_t d = parent_depth + 1;
+        if (d > cut_depth) return scalar;
+        if (code == 1) {
+            int32_t v = scalar + (int32_t)distance_map[d];
+            return v > 255 ? 255 : v;
+        }
+        if (code == 2) {
+            int32_t v = scalar - (int32_t)distance_map[d];
+            return v < 0 ? 0 : v;
+        }
+        return scalar;
+    };
+
+    auto split_dim = [&](const Frame& f) {
+        int64_t ext[3] = {f.mx[0] - f.mn[0], f.mx[1] - f.mn[1], f.mx[2] - f.mn[2]};
+        if (ext[0] * ext[1] * ext[2] <= 1) return -1;
+        int sd = f.depth % 3;
+        int i = 0;
+        while (ext[sd] == 1) { ++i; sd = (f.depth + i) % 3; }
+        return sd;
+    };
+
+    while (top >= 0) {
+        Frame f = stack[top];
+        const int code = (preorder[f.idx >> 2] >> ((f.idx & 3) * 2)) & 3;
+        if (code == 3 || f.depth == max_depth) {
+            for (int64_t x = f.mn[0]; x < f.mx[0]; ++x)
+                for (int64_t y = f.mn[1]; y < f.mx[1]; ++y)
+                    for (int64_t z = f.mn[2]; z < f.mx[2]; ++z)
+                        out[x + X * y + X * Y * z] = (uint8_t)f.scalar;
+            --top;
+            const int64_t nxt = f.idx + 1;
+            if (nxt < num_active && top >= 0) {
+                Frame p = stack[top];
+                --top;
+                const int ncode = (preorder[nxt >> 2] >> ((nxt & 3) * 2)) & 3;
+                Frame c = p;
+                c.idx = nxt;
+                c.depth = p.depth + 1;
+                c.scalar = child_scalar(p.scalar, ncode, p.depth);
+                const int sd = split_dim(p);
+                if (sd >= 0) c.mn[sd] = (p.mn[sd] + p.mx[sd]) / 2;
+                stack[++top] = c;
+            }
+        } else {
+            if (f.depth >= orig_depth) --top;
+            const int64_t nxt = f.idx + 1;
+            const int ncode = (preorder[nxt >> 2] >> ((nxt & 3) * 2)) & 3;
+            Frame c = f;
+            c.idx = nxt;
+            c.depth = f.depth + 1;
+            c.scalar = child_scalar(f.scalar, ncode, f.depth);
+            const int sd = split_dim(f);
+            if (sd >= 0) c.mx[sd] = (f.mn[sd] + f.mx[sd]) / 2;
+            stack[++top] = c;
+        }
+    }
+    delete[] stack;
+}

@@ -109,7 +109,18 @@ def render_isosurface(
         jnp.zeros_like(entry_uv),
         jnp.zeros_like(entry_uv),
     )
-    _, _, found, hit_near, hit_far = jax.lax.fori_loop(0, max_samples, body, init)
+    # fixed-trip semantics with a global early exit: once every ray has hit or
+    # left the cube there is nothing left to march (identical output)
+    def cond(state):
+        i, st = state
+        return (i < max_samples) & jnp.any(st[1])
+
+    def wbody(state):
+        i, st = state
+        return i + 1, body(i, st)
+
+    _, (_, _, found, hit_near, hit_far) = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), init))
 
     tc = bisection_refine(volume, hit_near, hit_far, iso, wrap=wrap)
     N = gradient_normal(volume, tc, wrap=wrap)
