@@ -70,3 +70,29 @@ def test_kernel_parity_on_tpu():
     rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction, rays.hit)
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs TPU/Mosaic")
+def test_isosurface_kernel_parity_on_tpu():
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import render_isosurface_pallas
+    from volumerenderer_tpu.ops.isosurface import render_isosurface
+
+    vol = as_normalized_volume(sphere_volume((128, 128, 128)))
+    rays = generate_rays(Camera(width=512, height=512))
+    rgb_k, found_k = render_isosurface_pallas(vol, rays.entry_uv, rays.direction,
+                                              rays.hit, check_spans=False)
+    rgb_r, found_r = render_isosurface(vol, rays.entry_uv, rays.direction, rays.hit)
+    np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r), atol=2e-3)
+
+
+def test_isosurface_kernel_fallback():
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import render_isosurface_pallas
+    from volumerenderer_tpu.ops.isosurface import render_isosurface
+
+    vol = as_normalized_volume(sphere_volume((32, 32, 32)))
+    rays = generate_rays(Camera(width=32, height=16))
+    rgb, found = render_isosurface_pallas(vol, rays.entry_uv, rays.direction,
+                                          rays.hit)
+    rgb_r, found_r = render_isosurface(vol, rays.entry_uv, rays.direction, rays.hit)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_r), atol=1e-6)
