@@ -1,0 +1,152 @@
+"""Run the five BASELINE.json benchmark configs end-to-end and emit one JSON
+metrics line per config.  Synthetic data stands in when the Richtmyer-Meshkov
+bricks are absent (pass --rm-dir to use the real dataset).
+
+  1. 64^3 sphere, dense 256^2 compositing raycast
+  2. single 256^3 brick, dense raycast + isosurface, 512^2
+  3. 256^3 with kd-tree compression + device decode, tolerance sweep, 512^2
+  4. multi-brick (8), differentiable TF fit to a target image, 1024^2
+  5. multi-timestep progressive stream (4 steps), z-sharded mesh, 1024^2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from volumerenderer_tpu import Camera, generate_rays, as_normalized_volume
+from volumerenderer_tpu.codecs import kdtree as K
+from volumerenderer_tpu.diff.transfer import TFParams, tf_loss
+from volumerenderer_tpu.io.bricks import BrickGrid, file_brick_source, load_bricks, synthetic_brick_source
+from volumerenderer_tpu.io.streaming import TimestepStreamer
+from volumerenderer_tpu.io.synthetic import sphere_volume, turbulence_volume
+from volumerenderer_tpu.models.compressed import CompressedRenderer
+from volumerenderer_tpu.ops.isosurface import render_isosurface
+from volumerenderer_tpu.ops.raycast import render_compositing
+from volumerenderer_tpu.parallel.context import make_z_mesh, render_zsharded
+
+
+def timed(fn):
+    fn()
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def emit(config, **kv):
+    print(json.dumps({"config": config, **kv}))
+
+
+def config1():
+    vol = as_normalized_volume(sphere_volume((64, 64, 64)))
+    rays = generate_rays(Camera(width=256, height=256))
+    dt, _ = timed(lambda: float(jnp.sum(
+        render_compositing(vol, rays.entry_uv, rays.direction, rays.hit)[0])))
+    emit(1, rays_per_s=256 * 256 / dt, seconds=dt)
+
+
+def config2(brick):
+    vol = as_normalized_volume(brick)
+    rays = generate_rays(Camera(width=512, height=512))
+    dt_c, _ = timed(lambda: float(jnp.sum(
+        render_compositing(vol, rays.entry_uv, rays.direction, rays.hit)[0])))
+    dt_i, _ = timed(lambda: float(jnp.sum(
+        render_isosurface(vol, rays.entry_uv, rays.direction, rays.hit)[0])))
+    emit(2, compositing_rays_per_s=512 * 512 / dt_c,
+         isosurface_rays_per_s=512 * 512 / dt_i)
+
+
+def config3(brick):
+    rays = generate_rays(Camera(width=512, height=512))
+    for tol in (1, 4, 8):
+        t0 = time.perf_counter()
+        tree = K.build(brick, tolerance=tol, max_epochs=2)
+        build_s = time.perf_counter() - t0
+        r = CompressedRenderer(tree)
+        dec = np.asarray(r.volume_at()) * 255.0
+        err = np.abs(dec - brick.astype(np.float64))
+        dt, _ = timed(lambda: float(jnp.sum(r.render(rays)[0])))
+        emit(3, tolerance=tol, build_s=build_s,
+             bits_per_voxel=2 * tree.num_active_nodes / brick.size,
+             max_err=float(err.max()), mean_err=float(err.mean()),
+             rays_per_s=512 * 512 / dt)
+
+
+def config4(volume):
+    vol = as_normalized_volume(volume)
+    rays = generate_rays(Camera(width=1024, height=1024))
+    target = jnp.full(rays.entry_uv.shape[:-1] + (3,), 0.5, jnp.float32)
+    params = TFParams.reference()
+    grad_fn = jax.jit(jax.grad(lambda p: tf_loss(
+        p, vol, rays.entry_uv, rays.direction, rays.hit, target,
+        max_samples=64)))
+    losses = []
+    for i in range(5):
+        g = grad_fn(params)
+        params = jax.tree.map(lambda p, gg: p - 0.05 * gg, params, g)
+        losses.append(float(tf_loss(params, vol, rays.entry_uv, rays.direction,
+                                    rays.hit, target, max_samples=64)))
+    emit(4, tf_fit_losses=losses, improved=bool(losses[-1] < losses[0]))
+
+
+def config5(source, grid):
+    # shard_map needs >1 device (and does not run over the axon dev tunnel);
+    # fall back to the unsharded renderer on a single chip
+    n_dev = len(jax.devices())
+    mesh = make_z_mesh(min(n_dev, 2)) if n_dev > 1 else None
+    streamer = TimestepStreamer(source, grid, timesteps=[270, 271, 272, 273],
+                                num_bricks=grid.num_bricks(), I=grid.grid[0],
+                                J=grid.grid[1], K_bricks=grid.grid[2],
+                                tolerance=4, max_epochs=1, prefetch=2)
+    rays = generate_rays(Camera(width=512, height=512))
+    t0 = time.perf_counter()
+    n = 0
+    for t, renderer in streamer:
+        vol = renderer.volume_at()
+        if mesh is not None:
+            rgb, _ = render_zsharded(mesh, vol, rays.entry_uv, rays.direction,
+                                     rays.hit, max_samples=64)
+        else:
+            rgb, _ = render_compositing(vol, rays.entry_uv, rays.direction,
+                                        rays.hit, max_samples=64)
+        float(jnp.sum(rgb))
+        n += 1
+    dt = time.perf_counter() - t0
+    emit(5, timesteps=n, total_s=dt, per_timestep_s=dt / n,
+         z_shards=mesh.shape["z"] if mesh is not None else 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rm-dir", default=None, help="Richtmyer-Meshkov all_bricks dir")
+    ap.add_argument("--small", action="store_true", help="CI-sized volumes")
+    args = ap.parse_args()
+
+    if args.small:
+        brick = turbulence_volume((64, 64, 64), seed=273)
+        grid = BrickGrid(brick_dims=(16, 16, 16), grid=(2, 2, 2))
+        multi = turbulence_volume((64, 64, 64), seed=1)
+    elif args.rm_dir:
+        rm_grid = BrickGrid()
+        src = file_brick_source(args.rm_dir, rm_grid)
+        brick = load_bricks(src, rm_grid, 1, 1, 1, 1, 273)
+        grid = rm_grid
+        multi = load_bricks(src, rm_grid, 8, 2, 2, 2, 273)
+    else:
+        brick = turbulence_volume((256, 256, 256), seed=273)
+        grid = BrickGrid(brick_dims=(64, 64, 64), grid=(2, 2, 2))
+        multi = turbulence_volume((256, 256, 256), seed=1)
+
+    config1()
+    config2(brick)
+    config3(brick)
+    config4(multi)
+    config5(synthetic_brick_source(grid), grid)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,9 +145,12 @@ def render_zsharded(mesh: Mesh, volume, entry_uv, direction, hit,
         lo = idx * S
         # halo: receive the next shard's first plane (ring shift); the last
         # shard pads with its own last plane (global clamp at the z edge)
-        perm = [(i, (i - 1) % n) for i in range(n)]
-        halo = jax.lax.ppermute(slab[0:1], "z", perm)
-        halo = jnp.where(idx == n - 1, slab[S - 1:S], halo)
+        if n == 1:
+            halo = slab[S - 1:S]  # no neighbors — pure clamp padding
+        else:
+            perm = [(i, (i - 1) % n) for i in range(n)]
+            halo = jax.lax.ppermute(slab[0:1], "z", perm)
+            halo = jnp.where(idx == n - 1, slab[S - 1:S], halo)
         slab_ext = jnp.concatenate([slab, halo], axis=0)
         C, T = _segment_march(slab_ext, entry_uv, direction, hit, lo, dims,
                               max_samples)
