@@ -15,7 +15,6 @@ import json
 import time
 
 import jax.numpy as jnp
-import numpy as np
 
 NOMINAL_BASELINE_RAYS_PER_S = 1.0e8
 

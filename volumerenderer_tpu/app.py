@@ -8,14 +8,14 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import time
+
 
 import numpy as np
 
 from .camera import Camera, generate_rays
 from .config import AppConfig
 from .codecs import kdtree as K
-from .io.bricks import BrickGrid, file_brick_source, load_bricks, synthetic_brick_source
+from .io.bricks import BrickGrid, file_brick_source, load_bricks
 from .io.synthetic import turbulence_volume, sphere_volume
 from .models.compressed import CompressedRenderer
 from .utils.timer import DebugTimer, Metrics

@@ -29,7 +29,7 @@ mean, which is inherently sequential (scalar carry) and runs on the host
 (C++ native module when built, Python fallback otherwise).
 
 Deliberate, documented deviations from the literal C++ (see also the test
-oracle in tests/oracles/kdtree_oracle.py, which matches *these* semantics):
+oracle in codecs/reference_impl.py, which matches *these* semantics):
 
 1. ``currentError`` is reset to zero for every evaluation.  The C++ accumulates
    into an uninitialized/carried-over double (``:307-315``) — undefined

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..codecs.device import DeviceKdTree, level_cut_device, to_device
+from ..codecs.device import level_cut_device, to_device
 from ..codecs.kdtree import KdTree
 from ..ops.raycast import render_compositing
 from ..ops.isosurface import render_isosurface

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..diff.transfer import TFParams, render_tf, tf_loss
+from ..diff.transfer import TFParams, render_tf
 
 __all__ = ["make_mesh", "render_tf_sharded", "tf_fit_step", "scaling_efficiency_probe"]
 
