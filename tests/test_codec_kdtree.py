@@ -179,3 +179,23 @@ def test_native_decode_matches_python():
         except OSError:
             pytest.skip("native toolchain unavailable")
         np.testing.assert_array_equal(nat, py)
+
+
+def test_native_full_build_matches_python_nonpow2():
+    """Arbitrary-dims C++ build vs the Python transliteration (incl. a
+    non-power-of-two z where per-node extents diverge)."""
+    from volumerenderer_tpu.codecs.reference_impl import SequentialKdTree, build_arbitrary
+
+    rng = np.random.default_rng(23)
+    for dims in [(12, 8, 8), (8, 8, 8), (6, 16, 4)]:
+        vol = rng.integers(0, 256, dims).astype(np.uint8)
+        Z, Y, X = dims
+        py = SequentialKdTree(vol.reshape(-1).copy(), X, Y, Z, tolerance=2,
+                              max_epochs=2)
+        py.build()
+        nat = build_arbitrary(vol, tolerance=2, max_epochs=2)
+        np.testing.assert_array_equal(nat.distance_map, py.distance_map)
+        assert nat.num_active_nodes == py.num_active_nodes, dims
+        np.testing.assert_array_equal(nat.preorder, py.preorder)
+        np.testing.assert_array_equal(nat.level_cut(nat.max_depth),
+                                      py.level_cut(py.max_depth))

@@ -82,3 +82,22 @@ def test_convert_to_byte_array_matches_reference_loop():
     np.testing.assert_array_equal(arr, ref)
     # power-of-two sizing
     assert arr.shape[0] & (arr.shape[0] - 1) == 0
+
+
+def test_midrange_device_decode_and_renderer():
+    from volumerenderer_tpu.codecs.device import level_cut_device
+    from volumerenderer_tpu.models.compressed import CompressedRenderer
+    from volumerenderer_tpu import Camera, generate_rays
+
+    vol = sphere_volume((16, 16, 16))
+    mt = M.build(vol, tolerance=2, max_epochs=2)
+    mid_dev, rng_dev, spec = M.to_device_pair(mt)
+    np.testing.assert_array_equal(
+        np.asarray(level_cut_device(mid_dev, spec)), M.level_cut(mt))
+    np.testing.assert_array_equal(
+        np.asarray(level_cut_device(rng_dev, spec)), M.level_cut_range(mt))
+
+    r = CompressedRenderer(mt)
+    rays = generate_rays(Camera(width=16, height=16))
+    rgb, a = r.render(rays)
+    assert np.isfinite(np.asarray(rgb)).all()

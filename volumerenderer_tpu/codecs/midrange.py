@@ -242,3 +242,13 @@ def convert_to_byte_array(tree: MidRangeTree) -> np.ndarray:
     r[:n] = pre_r
     out = ((m[0::2] << 6) | (r[0::2] << 4) | (m[1::2] << 2) | r[1::2]).astype(np.uint8)
     return out
+
+
+def to_device_pair(tree: MidRangeTree):
+    """Device-resident packed decode for both channels (reuses the kd-tree
+    device pipeline; the channels share one structure)."""
+    from .device import to_device
+
+    mid_dev, spec = to_device(tree.mid)
+    rng_dev, _ = to_device(_range_view(tree))
+    return mid_dev, rng_dev, spec

@@ -350,3 +350,40 @@ def decode_preorder(preorder: np.ndarray, distance_map: np.ndarray,
             min_b, max_b = split_box(min_b, max_b, depth, "left")
             stack.append((nxt, depth + 1, scalar, min_b, max_b))
     return out.reshape(Z, Y, X)
+
+
+def build_arbitrary(volume: np.ndarray, tolerance: int = 6, max_epochs: int = 5):
+    """Full-pipeline build for ARBITRARY dimensions via the C++ native port
+    (fast path for non-power-of-two volumes like the reference's full
+    2048x2048x768 run); falls back to the Python transliteration.
+
+    Returns a ``SequentialKdTree``-shaped object (``preorder``,
+    ``distance_map``, ``level_cut``...)."""
+    volume = np.asarray(volume, dtype=np.uint8)
+    Z, Y, X = volume.shape
+    nx = int(math.log(X) / math.log(2))
+    ny = int(math.log(Y) / math.log(2))
+    nz = int(math.log(Z) / math.log(2))
+    D = nx + ny + nz
+    max_depth = D + MAX_ADD_LEVELS
+
+    tree = SequentialKdTree(volume.reshape(-1), X, Y, Z, tolerance, max_epochs)
+    try:
+        from ..native import kdtree_native
+        from ..utils.bitarray import unpack2_np
+
+        dm = np.zeros(max_depth + 1, dtype=np.uint8)
+        for i, dist in enumerate(ADD_LEVEL_DISTANCES):
+            dm[D + 1 + i] = dist
+        n_active, packed, dm, leaf_recon = kdtree_native.build_full(
+            volume, tolerance, max_epochs, D, max_depth, dm)
+        tree.orig_depth = D
+        tree.max_depth = max_depth
+        tree.distance_map = dm
+        tree.num_active_nodes = n_active
+        tree.preorder = unpack2_np(packed, n_active)
+        tree.recon = leaf_recon.astype(np.int64)
+        return tree
+    except (ImportError, OSError):
+        tree.build()
+        return tree

@@ -10,7 +10,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..codecs.device import level_cut_device, to_device
-from ..codecs.kdtree import KdTree
 from ..ops.raycast import render_compositing
 from ..ops.isosurface import render_isosurface
 from ..ops.sampling import as_normalized_volume
@@ -46,7 +45,11 @@ class CompressedRenderer:
     HBM).  Progressive refinement = rendering coarser cuts first.
     """
 
-    def __init__(self, tree: KdTree):
+    def __init__(self, tree):
+        # accepts a KdTree or a MidRangeTree (decodes its midpoint channel,
+        # exactly as the reference levelCut does, MidRangeTree.cpp:984-1093)
+        if hasattr(tree, "mid"):
+            tree = tree.mid
         self.tree = tree
         self.dtree, self.spec = to_device(tree)
         self._cache: dict[int, jnp.ndarray] = {}

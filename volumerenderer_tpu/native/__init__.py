@@ -43,6 +43,13 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8)]
     lib.decode_preorder_native.restype = None
+    lib.build_full_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.build_full_native.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -96,3 +103,24 @@ class kdtree_native:
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             recon.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return codes, recon, int(sum_sq)
+
+    @staticmethod
+    def build_full(volume, tolerance: int, max_epochs: int,
+                   orig_depth: int, max_depth: int, distance_map):
+        """Full sequential build (arbitrary dims).  ``distance_map`` must be
+        pre-filled with the extra-level ladder; returns (num_active,
+        packed_preorder, leaf_recon)."""
+        lib = _load()
+        Z, Y, X = volume.shape
+        vol = np.ascontiguousarray(volume, dtype=np.uint8)
+        dm = np.ascontiguousarray(distance_map, dtype=np.uint8)
+        num_max = ((1 << (orig_depth + 1)) - 1) + (1 << orig_depth) * (max_depth - orig_depth)
+        packed = np.zeros((num_max + 3) // 4, dtype=np.uint8)
+        leaf_recon = np.zeros(1 << orig_depth, dtype=np.int32)
+        n_active = lib.build_full_native(
+            vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            X, Y, Z, tolerance, max_epochs, orig_depth, max_depth,
+            dm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            leaf_recon.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return int(n_active), packed, dm, leaf_recon

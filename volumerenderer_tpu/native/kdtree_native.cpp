@@ -152,3 +152,255 @@ extern "C" void decode_preorder_native(
     }
     delete[] stack;
 }
+
+// ---------------------------------------------------------------------------
+// Full sequential kd-tree build for ARBITRARY (incl. non-power-of-two) dims —
+// native port of the reference pipeline (VolumeKdTree_recover.cpp:17-724)
+// with the two documented semantic fixes of codecs/kdtree.py (fresh error per
+// evaluation; final re-encode at the chosen delta).  This is the path for the
+// reference's own full-volume config (2048x2048x768), where the vectorized
+// power-of-two codec does not apply and Python is too slow.
+// ---------------------------------------------------------------------------
+
+#include <vector>
+#include <stack>
+#include <tuple>
+
+namespace {
+
+struct BuildCtx {
+    const uint8_t* data;
+    int64_t X, Y, Z;
+    int orig_depth;
+    std::vector<uint8_t> temp;       // breadth-first node values
+    std::vector<uint8_t> codes;      // 2-bit codes stored as bytes
+    std::vector<int32_t> recon;      // leaf reconstructions
+    int64_t first_leaf;
+
+    int64_t cell(int64_t x, int64_t y, int64_t z) const {
+        return x + X * y + X * Y * z;
+    }
+};
+
+struct MinMax8 { uint8_t mn, mx; };
+
+MinMax8 build_rec(BuildCtx& c, int64_t idx, int depth, int64_t mn[3], int64_t mx[3]) {
+    MinMax8 r;
+    if (depth < c.orig_depth) {
+        int sd = depth % 3;
+        int64_t ext[3] = {mx[0] - mn[0], mx[1] - mn[1], mx[2] - mn[2]};
+        int64_t cells = ext[0] * ext[1] * ext[2];
+        int i = 0;
+        while (cells > 1 && ext[sd] == 1) { ++i; sd = (depth + i) % 3; }
+        const int64_t mid = (mn[sd] + mx[sd]) / 2;
+        const int64_t hi = mx[sd];
+        int64_t a_mn[3] = {mn[0], mn[1], mn[2]};
+        int64_t a_mx[3] = {mx[0], mx[1], mx[2]};
+        a_mx[sd] = mid;
+        MinMax8 l = build_rec(c, 2 * idx + 1, depth + 1, a_mn, a_mx);
+        int64_t b_mn[3] = {mn[0], mn[1], mn[2]};
+        int64_t b_mx[3] = {mx[0], mx[1], mx[2]};
+        b_mn[sd] = mid; b_mx[sd] = hi;
+        MinMax8 h = build_rec(c, 2 * idx + 2, depth + 1, b_mn, b_mx);
+        r.mn = l.mn < h.mn ? l.mn : h.mn;
+        r.mx = l.mx > h.mx ? l.mx : h.mx;
+    } else {
+        r.mn = r.mx = c.data[c.cell(mn[0], mn[1], mn[2])];
+    }
+    c.temp[idx] = (uint8_t)(((int)r.mx + (int)r.mn) / 2);
+    return r;
+}
+
+// encodeNode on integer values; returns estimate, writes code if fill
+inline int enc(int truth, int parent, int dist, uint8_t* code_out, int64_t* err_out) {
+    const int none_err = parent > truth ? parent - truth : truth - parent;
+    int add_est = parent + dist; if (add_est > 255) add_est = 255;
+    const int add_err = add_est > truth ? add_est - truth : truth - add_est;
+    int sub_est = parent - dist; if (sub_est < 0) sub_est = 0;
+    const int sub_err = sub_est > truth ? sub_est - truth : truth - sub_est;
+    int min_err = none_err < add_err ? none_err : add_err;
+    min_err = sub_err < min_err ? sub_err : min_err;
+    if (err_out) *err_out = min_err;
+    if (min_err == none_err) { if (code_out) *code_out = 0; return parent; }
+    if (min_err == add_err)  { if (code_out) *code_out = 1; return add_est; }
+    if (code_out) *code_out = 2;
+    return sub_est;
+}
+
+bool prune_rec(BuildCtx& c, int64_t root, int tol) {
+    // depth = floor(log2(root+1))
+    int depth = 0;
+    for (int64_t v = root + 1; v > 1; v >>= 1) ++depth;
+    bool l = true, r = true, meets = true;
+    if (depth < c.orig_depth) {
+        l = prune_rec(c, 2 * root + 1, tol);
+        r = prune_rec(c, 2 * root + 2, tol);
+    }
+    if (depth == c.orig_depth) {
+        const int64_t ri = root - c.first_leaf;
+        int d = c.recon[ri] - (int)c.temp[c.first_leaf + ri];
+        meets = (d < 0 ? -d : d) < tol;
+    }
+    if (l && r && c.codes[root] == 0 && meets) {
+        c.codes[root] = 3;
+        return true;
+    }
+    return false;
+}
+
+inline void set2(uint8_t* packed, int64_t i, int v) {
+    const int64_t b = i >> 2;
+    const int sh = (int)(i & 3) * 2;
+    packed[b] = (uint8_t)((packed[b] & ~(3 << sh)) | (v << sh));
+}
+
+}  // namespace
+
+extern "C" int64_t build_full_native(
+    const uint8_t* data, int64_t X, int64_t Y, int64_t Z,
+    int32_t tolerance, int32_t max_epochs,
+    int32_t orig_depth, int32_t max_depth,
+    uint8_t* distance_map /* max_depth+1, extra levels prefilled by caller */,
+    uint8_t* preorder_packed /* (num_max_nodes+3)/4, zeroed by caller */,
+    int32_t* leaf_recon_out /* 2^orig_depth, optional (may be null) */) {
+
+    BuildCtx c;
+    c.data = data; c.X = X; c.Y = Y; c.Z = Z; c.orig_depth = orig_depth;
+    const int64_t num_nodes = ((int64_t)1 << (orig_depth + 1)) - 1;
+    c.first_leaf = ((int64_t)1 << orig_depth) - 1;
+    c.temp.resize(num_nodes);
+    c.codes.assign(num_nodes, 0);
+
+    // PASS 1
+    int64_t mn[3] = {0, 0, 0};
+    int64_t mx[3] = {X, Y, Z};
+    build_rec(c, 0, 0, mn, mx);
+
+    // PASS 2 — per-level seed + GD (fixed semantics; see kdtree.py docstring)
+    std::vector<int32_t> recon_parents;
+    int64_t start = 0, parent_start = 0;
+    for (int depth = 0; depth <= orig_depth; ++depth) {
+        const int64_t n = (int64_t)1 << depth;
+        const int64_t end = start + n;
+        c.recon.assign(n, 0);
+
+        // seeding (sequential running mean, :415-455)
+        double sum = 0.0, count = 0.0;
+        for (int64_t i = start; i < end; ++i) {
+            const int parent = i == 0 ? 0 : recon_parents[((i - 1) / 2) - parent_start];
+            const double t = (double)c.temp[i];
+            const double pd = parent > t ? parent - t : t - parent;
+            const double md = (sum + pd) / (count + 1.0);
+            const double ae = std::fabs((md + parent > 255.0 ? 255.0 : parent + md) - t);
+            const double se = std::fabs((parent - md < 0.0 ? 0.0 : parent - md) - t);
+            double me = pd < ae ? pd : ae;
+            me = se < me ? se : me;
+            if (me == pd) continue;
+            sum += pd; count += 1.0;
+        }
+        double cur = count > 0 ? std::floor(sum / count + 0.5) : 0.0;
+
+        auto eval = [&](int dist, bool fill) {
+            double err = 0.0;
+            for (int64_t i = start; i < end; ++i) {
+                const int parent = i == 0 ? 0 : recon_parents[((i - 1) / 2) - parent_start];
+                int64_t e;
+                uint8_t code;
+                const int r = enc(c.temp[i], parent, dist, fill ? &code : nullptr, &e);
+                if (fill) { c.codes[i] = code; c.recon[i - start] = r; }
+                err += (double)(e * e);
+            }
+            return err / (double)n;
+        };
+
+        int epoch = 0;
+        double prev_dist = 0.0, prev_step = 255.0, prev_err = 65025.0;
+        double cur_err = 0.0, cur_df = 0.0, cur_step = 0.0, prev_df = 0.0;
+        while (epoch < max_epochs && std::fabs(prev_step) >= 0.5) {
+            if (epoch != 0) {
+                prev_dist = cur; prev_err = cur_err; prev_df = cur_df; prev_step = cur_step;
+                double nd = prev_dist + prev_step;
+                nd = nd < 0.0 ? 0.0 : (nd > 255.0 ? 255.0 : nd);
+                cur = std::floor(nd + 0.5);
+                if (cur == prev_dist) break;
+            }
+            cur_err = eval((int)cur, true);
+            if (cur_err < 1.0) break;
+            if (epoch != 0 && cur_err > prev_err) {
+                cur_err = prev_err; cur = prev_dist; cur_df = prev_df;
+                cur_step = prev_step / 2.0;
+                ++epoch;
+                continue;
+            }
+            const double lo = cur - 1.0 < 0.0 ? 0.0 : cur - 1.0;
+            const double hi = cur + 1.0 > 255.0 ? 255.0 : cur + 1.0;
+            const double e_lo = eval((int)lo, false);
+            const double e_hi = eval((int)hi, false);
+            cur_df = (e_hi - e_lo) / 2.0;
+            cur_step = -1.25 * cur_df;
+            if (cur_step > 4.0) cur_step = 4.0;
+            if (cur_step < -4.0) cur_step = -4.0;
+            ++epoch;
+        }
+        distance_map[depth] = (uint8_t)cur;
+        eval((int)cur, true);  // final re-encode
+
+        recon_parents.swap(c.recon);
+        parent_start = start;
+        start = end;
+    }
+    c.recon.swap(recon_parents);  // leaf reconstructions
+
+    // PASS 3
+    prune_rec(c, 0, tolerance);
+
+    // PASS 4 — preorder emit with branch growth (stack machine, :631-724)
+    int64_t out_idx = 0;
+    struct F { int64_t idx; int depth; bool ev; int64_t zero_start; };
+    std::vector<F> stack;
+    stack.push_back({0, 0, false, -1});
+    while (!stack.empty()) {
+        F f = stack.back();
+        stack.pop_back();
+        int code = c.codes[f.idx];
+        int64_t ri = -1;
+        if (f.depth >= orig_depth) {
+            ri = f.idx - c.first_leaf;
+            if (f.ev) {
+                int64_t e;
+                uint8_t nc;
+                const int r = enc(c.temp[c.first_leaf + ri], c.recon[ri],
+                                  distance_map[f.depth], &nc, &e);
+                c.recon[ri] = r;
+                c.codes[f.idx] = nc;
+                code = nc;
+                if (f.zero_start != -1) { if (code != 0) f.zero_start = -1; }
+                else if (code == 0) f.zero_start = out_idx;
+            } else if (f.depth > orig_depth) {
+                code = 3;
+            }
+        }
+        set2(preorder_packed, out_idx++, code);
+        if (f.depth >= max_depth || code == 3) {
+            if (f.zero_start != -1)
+                for (int64_t i = f.zero_start; i < out_idx; ++i)
+                    set2(preorder_packed, i, 3);
+            continue;
+        }
+        if (f.depth >= orig_depth) {
+            int d = c.recon[ri] - (int)c.temp[c.first_leaf + ri];
+            if ((d < 0 ? -d : d) > tolerance)
+                stack.push_back({f.idx, f.depth + 1, true, f.zero_start});
+            else
+                stack.push_back({f.idx, f.depth + 1, false, f.zero_start});
+            continue;
+        }
+        stack.push_back({2 * f.idx + 2, f.depth + 1, false, f.zero_start});
+        stack.push_back({2 * f.idx + 1, f.depth + 1, false, f.zero_start});
+    }
+
+    if (leaf_recon_out)
+        for (int64_t i = 0; i < ((int64_t)1 << orig_depth); ++i)
+            leaf_recon_out[i] = c.recon[i];
+    return out_idx;
+}
