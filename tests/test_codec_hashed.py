@@ -58,3 +58,16 @@ def test_growth_extends_depth():
     assert tree.tree_depth >= tree.orig_depth
     dec = H.level_cut(tree)
     assert dec.shape == vol.shape
+
+
+def test_device_decode_matches_host():
+    from volumerenderer_tpu.codecs.hashed import to_device_hashed, level_cut_device_hashed
+
+    for vol in (turbulence_volume((16, 16, 16), seed=13),
+                sphere_volume((16, 16, 16))):
+        tree = H.build(vol, tolerance=4)
+        dev = to_device_hashed(tree)
+        for cut in (4, tree.orig_depth, tree.tree_depth):
+            host = H.level_cut(tree, cut)
+            devv = np.asarray(level_cut_device_hashed(tree, dev, cut))
+            np.testing.assert_array_equal(devv, host)

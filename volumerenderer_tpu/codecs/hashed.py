@@ -392,3 +392,115 @@ def open_tree(path: str) -> HashedKdTree:
                         hash_mask=hash_mask, distance_map=dm, tree_data=td,
                         tree_structure=ts, coll_keys=keys[order],
                         coll_vals=vals[order], coll_data=cd, coll_structure=cs)
+
+
+# --------------------------------------------------------------------------- #
+# device decode (jnp): gather-based hash lookup per level
+# --------------------------------------------------------------------------- #
+
+def to_device_hashed(tree: HashedKdTree):
+    """Upload the hash tables as device arrays for :func:`level_cut_device_hashed`."""
+    import jax.numpy as jnp
+
+    return dict(
+        tree_data=jnp.asarray(tree.tree_data.astype(np.int32)),
+        tree_structure=jnp.asarray(tree.tree_structure.astype(np.int32)),
+        coll_keys=jnp.asarray(tree.coll_keys),
+        coll_vals=jnp.asarray(tree.coll_vals.astype(np.int32)),
+        coll_data=jnp.asarray(tree.coll_data.astype(np.int32)),
+        coll_structure=jnp.asarray(tree.coll_structure.astype(np.int32)),
+        distance_map=jnp.asarray(tree.distance_map.astype(np.int32)),
+    )
+
+
+def level_cut_device_hashed(tree: HashedKdTree, dev: dict,
+                            cut_depth: int | None = None):
+    """Device decode: dense per-level sweeps over all 2^d Morton codes with
+    gather-based table lookup and sorted-search collision resolution
+    (SURVEY.md §2 checklist item 5); grown levels walk each leaf's unary chain.
+    Returns a (Z, Y, X) uint8 jnp array equal to :func:`level_cut`."""
+    import jax.numpy as jnp
+
+    X, Y, Z = tree.dims
+    D = tree.orig_depth
+    if cut_depth is None:
+        cut_depth = tree.tree_depth
+    dm = dev["distance_map"]
+    mask = tree.hash_mask
+
+    def lookup(mcodes):
+        key = (mcodes & mask).astype(jnp.int32)
+        code = dev["tree_data"][key]
+        children = dev["tree_structure"][key]
+        is_coll = code == 3
+        # sorted-search into the collision key list (keys are unique)
+        pos = jnp.searchsorted(dev["coll_keys"], mcodes)
+        pos = jnp.clip(pos, 0, max(len(tree.coll_keys) - 1, 0))
+        if len(tree.coll_keys):
+            cidx = dev["coll_vals"][pos]
+            code = jnp.where(is_coll, dev["coll_data"][cidx], code)
+            children = jnp.where(is_coll, dev["coll_structure"][cidx], children)
+        return code, children
+
+    def apply_code(parent_scalar, code, depth):
+        s = jnp.where(code == 1, jnp.minimum(255, parent_scalar + dm[depth]),
+                      jnp.where(code == 2,
+                                jnp.maximum(0, parent_scalar - dm[depth]),
+                                parent_scalar))
+        return s
+
+    # dense sweep over depths 0..D: at depth d, arrays of size 2^d indexed by
+    # path; active = reachable through the structure gates
+    scalars = jnp.zeros(1, jnp.int32)
+    active = jnp.ones(1, bool)
+    frozen_scalar = jnp.zeros(1, jnp.int32)  # value filled at termination
+    filled = jnp.zeros(1, bool)
+    leaf_scalars = None
+    for d in range(0, min(cut_depth, D) + 1):
+        mcodes = jnp.arange(1 << d, dtype=jnp.int64) + (1 << d)
+        code, children = lookup(mcodes)
+        s = apply_code(scalars, code, d)
+        terminal = active & ((children == 0) | (d == cut_depth))
+        frozen_scalar = jnp.where(terminal, s, frozen_scalar)
+        filled = filled | terminal
+        if d < min(cut_depth, D):
+            go_left = active & ~terminal & ((children == 3) | (children == 1))
+            go_right = active & ~terminal & ((children == 3) | (children == 2))
+            nxt_active = jnp.stack([go_left, go_right], 1).reshape(-1)
+            scalars = jnp.repeat(s, 2)
+            active = nxt_active
+            frozen_scalar = jnp.repeat(frozen_scalar, 2)
+            filled = jnp.repeat(filled, 2)
+        else:
+            leaf_scalars = jnp.where(filled, frozen_scalar, s)
+            leaf_active = active & ~terminal
+    # expand to full leaf resolution if the sweep stopped above D
+    reached = min(cut_depth, D)
+    if reached < D:
+        rep = 1 << (D - reached)
+        leaf_scalars = jnp.repeat(jnp.where(filled, frozen_scalar, scalars), rep)
+        leaf_active = jnp.zeros(1 << D, bool)
+        leaf_codes_m = None
+    else:
+        # grown unary chains below D: each still-active leaf follows its
+        # structure-chosen child bit up to cut_depth
+        mcodes = jnp.arange(1 << D, dtype=jnp.int64) + (1 << D)
+        code, children = lookup(mcodes)
+        cur_m = mcodes
+        cur_children = children
+        s = leaf_scalars
+        act = leaf_active
+        for d in range(D + 1, min(cut_depth, tree.tree_depth) + 1):
+            bit = jnp.where(cur_children == 2, 1, 0).astype(jnp.int64)
+            cur_m = (cur_m << 1) | bit
+            code, children = lookup(cur_m)
+            s = jnp.where(act, apply_code(s, code, d), s)
+            terminal = act & ((children == 0) | (d == cut_depth))
+            act = act & ~terminal
+            cur_children = children
+        leaf_scalars = s
+
+    leaves = leaf_scalars.astype(jnp.uint8)
+    perm_vol = leaves_to_volume(np.asarray(leaves), tree.dims,
+                                split_schedule(X, Y, Z))
+    return perm_vol
