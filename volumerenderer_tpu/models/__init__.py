@@ -33,3 +33,17 @@ def plan_compositing(entry_uv, direction, hit, dims, max_samples: int = 300):
     the configuration supports it, else the jnp renderer (same API)."""
     from ..ops.pallas.raycast_kernel import CompositingPlan
     return CompositingPlan(entry_uv, direction, hit, dims, max_samples)
+
+
+def best_isosurface_renderer():
+    """Fastest isosurface renderer for the current backend (Pallas march +
+    masked shading pass on TPU; jnp elsewhere).  Same signature as
+    ``ops.isosurface.render_isosurface``."""
+    if jax.default_backend() == "tpu":
+        try:
+            from ..ops.pallas.isosurface_kernel import render_isosurface_pallas
+            return render_isosurface_pallas
+        except (ImportError, NotImplementedError):
+            pass
+    from ..ops.isosurface import render_isosurface
+    return render_isosurface

@@ -62,12 +62,24 @@ class CompressedRenderer:
         return self._cache[cut]
 
     def render(self, rays, cut_depth: int | None = None, mode: str = "compositing",
-               **kwargs):
+               fast: bool = False, **kwargs):
+        """``fast=True`` routes through the Pallas kernels when supported
+        (falls back transparently)."""
         vol = self.volume_at(cut_depth)
         if mode == "compositing":
+            if fast:
+                from ..ops.pallas.raycast_kernel import render_compositing_pallas
+                return render_compositing_pallas(vol, rays.entry_uv,
+                                                 rays.direction, rays.hit,
+                                                 **kwargs)
             return render_compositing(vol, rays.entry_uv, rays.direction,
                                       rays.hit, **kwargs)
         elif mode == "isosurface":
+            if fast:
+                from ..ops.pallas.isosurface_kernel import render_isosurface_pallas
+                return render_isosurface_pallas(vol, rays.entry_uv,
+                                                rays.direction, rays.hit,
+                                                **kwargs)
             return render_isosurface(vol, rays.entry_uv, rays.direction,
                                      rays.hit, **kwargs)
         raise ValueError(f"unknown mode {mode}")
