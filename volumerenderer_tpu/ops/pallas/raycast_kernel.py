@@ -146,20 +146,29 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         start_dma(nslot, oz_n, oy_n)
 
         idx = neighbors(px, py, pz)
-        zl0 = jnp.broadcast_to(idx["z0"] - oz_cur, (R, 128))
-        zl1 = jnp.broadcast_to(idx["z1"] - oz_cur, (R, 128))
-        yl0 = jnp.broadcast_to(idx["y0"] - oy_cur, (R, 128))
-        yl1 = jnp.broadcast_to(idx["y1"] - oy_cur, (R, 128))
+        # (z, y) trilinear weights as exact tent functions: row i gets
+        # max(0, 1 - |i - c|) with the tent center interpolated between the
+        # CLAMPED taps (c = l0 + f*(l1 - l0)): at a volume edge l1 == l0 and
+        # the edge row gets weight 1 — GL clamp-to-edge exactly, with fewer
+        # VPU ops than the compare-select form.  All center math stays in f32
+        # (int->float casts on (1, 128) slices hang the Mosaic compiler).
+        tz_f = pz * fdims[2] - 0.5
+        ty_f = py * fdims[1] - 0.5
+        z0c_f = jnp.clip(jnp.floor(tz_f), 0.0, float(Z - 1))
+        z1c_f = jnp.clip(jnp.floor(tz_f) + 1.0, 0.0, float(Z - 1))
+        y0c_f = jnp.clip(jnp.floor(ty_f), 0.0, float(Y - 1))
+        y1c_f = jnp.clip(jnp.floor(ty_f) + 1.0, 0.0, float(Y - 1))
+        oz_f = oz_cur.astype(jnp.float32)
+        oy_f = oy_cur.astype(jnp.float32)
+        cz = z0c_f - oz_f + idx["fz"] * (z1c_f - z0c_f)
+        cy = y0c_f - oy_f + idx["fy"] * (y1c_f - y0c_f)
+        cz_b = jnp.broadcast_to(cz, (R, 128))
+        cy_b = jnp.broadcast_to(cy, (R, 128))
         iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-        iz = iota // WIN_Y
-        iy = iota % WIN_Y
-        fz_b = jnp.broadcast_to(idx["fz"], (R, 128))
-        fy_b = jnp.broadcast_to(idx["fy"], (R, 128))
-        wz = (jnp.where(iz == zl0, 1.0, 0.0) * (1.0 - fz_b)
-              + jnp.where(iz == zl1, 1.0, 0.0) * fz_b)
-        wy = (jnp.where(iy == yl0, 1.0, 0.0) * (1.0 - fy_b)
-              + jnp.where(iy == yl1, 1.0, 0.0) * fy_b)
-        # at clamped edges zl0 == zl1 and the two terms sum to 1 automatically
+        iz_f = (iota // WIN_Y).astype(jnp.float32)
+        iy_f = (iota % WIN_Y).astype(jnp.float32)
+        wz = jnp.maximum(0.0, 1.0 - jnp.abs(iz_f - cz_b))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy_f - cy_b))
         w = wz * wy
 
         wait_dma(slot, oz_cur, oy_cur)
