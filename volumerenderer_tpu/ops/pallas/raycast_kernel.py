@@ -8,12 +8,17 @@ Per step the kernel:
 
 1. computes texel coordinates and clamped neighbor indices on the VPU;
 2. derives the window origin from cross-lane min-reductions and DMAs a
-   (4, 16, X) bf16 slab from the HBM-resident volume into VMEM (last two dims
-   honor the (8, 128) tiling constraints);
+   (4, 16, X) f32 slab from the HBM-resident *pair volume* into VMEM (last two
+   dims honor the (8, 128) tiling constraints).  The pair volume packs both x
+   neighbors into one f32 word — ``pair[x] = s[x]*256 + s[clamp(x+1)]`` with
+   ``s`` the 8-bit sample — so ONE lane gather per ray fetches the whole x
+   footprint (integers ≤ 65535 are exact in f32; the unpack is
+   floor/multiply/subtract, all exact);
 3. builds the 4-tap (z, y) trilinear weights against a sublane iota over the
-   64 slab rows, lane-gathers the two x neighbors per ray
+   64 slab rows, lane-gathers the packed x pair per ray
    (``take_along_axis`` on 128-lane chunks — the only per-lane dynamic
-   addressing primitive on TPU), and reduces over rows;
+   addressing primitive on TPU), and reduces over rows in two stages
+   (y within each z plane, then z);
 4. composites with latched alive masks; a ``while_loop`` ends the tile as soon
    as every ray has exited the cube or saturated (``raycaster.frag:53,77``).
 
@@ -71,27 +76,16 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
 
     fdims = (jnp.float32(X), jnp.float32(Y), jnp.float32(Z))
 
-    def neighbors(px, py, pz):
-        tx = px * fdims[0] - 0.5
+    def neighbors(py, pz):
         ty = py * fdims[1] - 0.5
         tz = pz * fdims[2] - 0.5
-        x0f = jnp.floor(tx)
-        y0f = jnp.floor(ty)
-        z0f = jnp.floor(tz)
-        idx = dict(
-            x0=jnp.clip(x0f.astype(jnp.int32), 0, X - 1),
-            x1=jnp.clip(x0f.astype(jnp.int32) + 1, 0, X - 1),
-            y0=jnp.clip(y0f.astype(jnp.int32), 0, Y - 1),
-            y1=jnp.clip(y0f.astype(jnp.int32) + 1, 0, Y - 1),
-            z0=jnp.clip(z0f.astype(jnp.int32), 0, Z - 1),
-            z1=jnp.clip(z0f.astype(jnp.int32) + 1, 0, Z - 1),
-            fx=tx - x0f, fy=ty - y0f, fz=tz - z0f,
-        )
-        return idx
+        y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, Y - 1)
+        z0 = jnp.clip(jnp.floor(tz).astype(jnp.int32), 0, Z - 1)
+        return z0, y0
 
-    def origins(idx, mask):
-        oz = jnp.min(jnp.where(mask, idx["z0"], BIG))
-        oy = jnp.min(jnp.where(mask, idx["y0"], BIG))
+    def origins(z0, y0, mask):
+        oz = jnp.min(jnp.where(mask, z0, BIG))
+        oy = jnp.min(jnp.where(mask, y0, BIG))
         oz = jnp.clip(oz, 0, Z - WIN_Z)
         oy = pl.multiple_of(jnp.clip((oy // 8) * 8, 0, Y - WIN_Y), 8)
         return oz, oy
@@ -114,8 +108,8 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     inside0 = ((p0x > 0.0) & (p0x < 1.0) & (p0y > 0.0) & (p0y < 1.0)
                & (p0z > 0.0) & (p0z < 1.0))
     alive0 = (state[5:6, :] > 0.5) & inside0
-    idx0 = neighbors(p0x, p0y, p0z)
-    oz0, oy0 = origins(idx0, alive0)
+    z00, y00 = neighbors(p0y, p0z)
+    oz0, oy0 = origins(z00, y00, alive0)
     start_dma(0, oz0, oy0)
     state[0:1, :] = p0x
     state[1:2, :] = p0y
@@ -141,11 +135,10 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         inside_n = ((pnx > 0.0) & (pnx < 1.0) & (pny > 0.0) & (pny < 1.0)
                     & (pnz > 0.0) & (pnz < 1.0))
         alive_n = alive & inside_n
-        idx_n = neighbors(pnx, pny, pnz)
-        oz_n, oy_n = origins(idx_n, alive_n)
+        z0n, y0n = neighbors(pny, pnz)
+        oz_n, oy_n = origins(z0n, y0n, alive_n)
         start_dma(nslot, oz_n, oy_n)
 
-        idx = neighbors(px, py, pz)
         # (z, y) trilinear weights as exact tent functions: row i gets
         # max(0, 1 - |i - c|) with the tent center interpolated between the
         # CLAMPED taps (c = l0 + f*(l1 - l0)): at a volume edge l1 == l0 and
@@ -154,14 +147,16 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         # (int->float casts on (1, 128) slices hang the Mosaic compiler).
         tz_f = pz * fdims[2] - 0.5
         ty_f = py * fdims[1] - 0.5
-        z0c_f = jnp.clip(jnp.floor(tz_f), 0.0, float(Z - 1))
-        z1c_f = jnp.clip(jnp.floor(tz_f) + 1.0, 0.0, float(Z - 1))
-        y0c_f = jnp.clip(jnp.floor(ty_f), 0.0, float(Y - 1))
-        y1c_f = jnp.clip(jnp.floor(ty_f) + 1.0, 0.0, float(Y - 1))
+        z0f = jnp.floor(tz_f)
+        y0f = jnp.floor(ty_f)
+        z0c_f = jnp.clip(z0f, 0.0, float(Z - 1))
+        z1c_f = jnp.clip(z0f + 1.0, 0.0, float(Z - 1))
+        y0c_f = jnp.clip(y0f, 0.0, float(Y - 1))
+        y1c_f = jnp.clip(y0f + 1.0, 0.0, float(Y - 1))
         oz_f = oz_cur.astype(jnp.float32)
         oy_f = oy_cur.astype(jnp.float32)
-        cz = z0c_f - oz_f + idx["fz"] * (z1c_f - z0c_f)
-        cy = y0c_f - oy_f + idx["fy"] * (y1c_f - y0c_f)
+        cz = z0c_f - oz_f + (tz_f - z0f) * (z1c_f - z0c_f)
+        cy = y0c_f - oy_f + (ty_f - y0f) * (y1c_f - y0c_f)
         cz_b = jnp.broadcast_to(cz, (R, 128))
         cy_b = jnp.broadcast_to(cy, (R, 128))
         iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -171,23 +166,29 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy_f - cy_b))
         w = wz * wy
 
+        # x taps: both neighbors ride in ONE packed f32 word of the pair
+        # volume; the clamped-floor index + clamped fractional reproduce GL
+        # clamp-to-edge at both faces (pair[X-1] self-pairs by construction).
+        tx_f = px * fdims[0] - 0.5
+        x0c_f = jnp.clip(jnp.floor(tx_f), 0.0, float(X - 1))
+        fx = jnp.clip(tx_f, 0.0, float(X - 1)) - x0c_f
+        xi = x0c_f.astype(jnp.int32)
+
         wait_dma(slot, oz_cur, oy_cur)
-        rows = slab[slot].reshape(R, X).astype(jnp.float32)
+        rows = slab[slot].reshape(R, X)
 
-        def lane_gather(xi):
-            xi_b = jnp.broadcast_to(xi, (R, 128))
-            out = jnp.take_along_axis(
-                rows[:, 0:128], jnp.clip(xi_b, 0, 127), axis=1)
-            for c in range(1, n_chunks):
-                cc = jnp.take_along_axis(
-                    rows[:, c * 128:(c + 1) * 128],
-                    jnp.clip(xi_b - c * 128, 0, 127), axis=1)
-                out = jnp.where(xi_b >= c * 128, cc, out)
-            return out
+        xi_b = jnp.broadcast_to(xi, (R, 128))
+        pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127),
+                                   axis=1)
+        for c in range(1, n_chunks):
+            cc = jnp.take_along_axis(
+                rows[:, c * 128:(c + 1) * 128],
+                jnp.clip(xi_b - c * 128, 0, 127), axis=1)
+            pair = jnp.where(xi_b >= c * 128, cc, pair)
 
-        g0 = lane_gather(idx["x0"])
-        g1 = lane_gather(idx["x1"])
-        fx_b = jnp.broadcast_to(idx["fx"], (R, 128))
+        g0 = jnp.floor(pair * (1.0 / 256.0))   # exact: pair < 2^16 in f32
+        g1 = pair - g0 * 256.0
+        fx_b = jnp.broadcast_to(fx, (R, 128))
         v = g0 * (1.0 - fx_b) + g1 * fx_b
         smp = jnp.sum(w * v, axis=0, keepdims=True) * (1.0 / 255.0)
 
@@ -216,10 +217,19 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     out_ref[tile, 0:2, :] = state[3:5, :]
 
 
+def pack_pairs(volume):
+    """(Z, Y, X) float32 in [0, 1] -> f32 pair volume ``s[x]*256 + s[x+1]``
+    (8-bit quantized samples, x+1 clamped to the edge — GL_CLAMP_TO_EDGE,
+    ``VolumeReader.h:120-122``)."""
+    s = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0)
+    return s * 256.0 + jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-def _launch(rays_packed, vol_scaled, dims, max_samples):
+def _launch(rays_packed, volume, dims, max_samples):
     n_tiles = rays_packed.shape[0]
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
+    vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples)
     out = pl.pallas_call(
         kernel,
@@ -233,11 +243,11 @@ def _launch(rays_packed, vol_scaled, dims, max_samples):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_Z, WIN_Y, dims[0]), jnp.bfloat16),
+            pltpu.VMEM((2, WIN_Z, WIN_Y, dims[0]), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, vol_scaled)
+    )(rays_packed, vol_pairs)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -311,7 +321,8 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
                               check_spans: bool = True):
     """Drop-in fast replacement for ``render_compositing`` (clamp wrap only).
 
-    ``volume`` is (Z, Y, X) float32 in [0, 1] (converted to scaled bf16 for
+    ``volume`` is (Z, Y, X) float32 in [0, 1] (8-bit quantized and pair-packed
+    in-jit for
     the kernel).  Falls back to the jnp renderer when the volume shape or the
     camera's tile footprints are unsupported.
     """
@@ -330,9 +341,8 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
 
-    vol_bf16 = (volume * 255.0).astype(jnp.bfloat16)
     rays = _pack_rays(entry_uv, direction, hit, dims)
-    color, alpha = _launch(rays, vol_bf16, dims, max_samples)
+    color, alpha = _launch(rays, volume, dims, max_samples)
     color = _untile(color, H, W)
     alpha = _untile(alpha, H, W)
     return apply_reference_transfer(color, alpha), alpha
@@ -368,8 +378,7 @@ class CompositingPlan:
         if not self.use_kernel:
             return render_compositing(volume, self.entry_uv, self.direction,
                                       self.hit, self.max_samples)
-        vol_bf16 = (volume * 255.0).astype(jnp.bfloat16)
-        color, alpha = _launch(self.rays_packed, vol_bf16, self.dims,
+        color, alpha = _launch(self.rays_packed, volume, self.dims,
                                self.max_samples)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
