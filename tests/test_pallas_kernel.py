@@ -37,14 +37,24 @@ def test_pack_rays_layout():
 
 
 def test_spans_prepass_scaling():
-    """Footprint spans shrink as pixel density grows (fixed volume)."""
+    """Footprint spans shrink as pixel density grows (fixed volume), and the
+    adaptive window height tracks them."""
     vol_dims = (128, 128, 128)
     rays_lo = generate_rays(Camera(width=128, height=128))
     rays_hi = generate_rays(Camera(width=512, height=512))
-    assert not RK.spans_ok(rays_lo.entry_uv, rays_lo.direction, rays_lo.hit,
-                           vol_dims, max_samples=64)
+    sy_lo, sz_lo = RK.max_spans(rays_lo.entry_uv, rays_lo.direction,
+                                rays_lo.hit, vol_dims, max_samples=64)
+    sy_hi, sz_hi = RK.max_spans(rays_hi.entry_uv, rays_hi.direction,
+                                rays_hi.hit, vol_dims, max_samples=64)
+    assert sz_hi <= sz_lo and sy_hi <= sy_lo
     assert RK.spans_ok(rays_hi.entry_uv, rays_hi.direction, rays_hi.hit,
                        vol_dims, max_samples=64)
+    # window chooser: smallest compiled height that covers the footprint
+    assert RK.choose_win_z(3) == 4
+    assert RK.choose_win_z(4) == 4
+    assert RK.choose_win_z(5) == RK.WIN_Z_MAX
+    assert RK.choose_win_z(RK.WIN_Z_MAX) == RK.WIN_Z_MAX
+    assert RK.choose_win_z(RK.WIN_Z_MAX + 1) is None
 
 
 def test_fallback_dispatch_unsupported_shapes():

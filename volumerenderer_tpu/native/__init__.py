@@ -50,12 +50,21 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32)]
     lib.build_full_native.restype = ctypes.c_int64
+    lib.set_native_threads.argtypes = [ctypes.c_int32]
+    lib.set_native_threads.restype = None
     _lib = lib
     return lib
 
 
 class kdtree_native:
     """Namespace matching the import in ``codecs.kdtree``."""
+
+    @staticmethod
+    def set_threads(n: int):
+        """Cap the native build's fork-join parallelism (default: all cores;
+        results are bit-identical at any thread count — the level sweeps
+        reduce exact int64 partial sums and the tree forks are disjoint)."""
+        _load().set_native_threads(int(n))
 
     @staticmethod
     def seed_level(truth: np.ndarray, parent: np.ndarray):

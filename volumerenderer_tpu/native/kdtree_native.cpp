@@ -165,8 +165,27 @@ extern "C" void decode_preorder_native(
 #include <vector>
 #include <stack>
 #include <tuple>
+#include <thread>
+#include <future>
+
+// Build-phase parallelism: 2-way fork-join on the kd children (the TPU-free
+// analogue of the reference's PPL parallel_invoke, VolumeKdTree_recover.cpp
+// :175-178,607-610) plus chunked level sweeps with exact int64 partial sums
+// (order-independent: e^2 sums stay below 2^53, so the double mean is
+// bit-identical to the sequential accumulation).
+static int g_threads =
+    (int)std::thread::hardware_concurrency() > 0
+        ? (int)std::thread::hardware_concurrency() : 1;
+
+extern "C" void set_native_threads(int n) { g_threads = n < 1 ? 1 : n; }
 
 namespace {
+
+int fork_levels() {
+    int l = 0;
+    while ((1 << l) < g_threads) ++l;
+    return l;
+}
 
 struct BuildCtx {
     const uint8_t* data;
@@ -184,7 +203,8 @@ struct BuildCtx {
 
 struct MinMax8 { uint8_t mn, mx; };
 
-MinMax8 build_rec(BuildCtx& c, int64_t idx, int depth, int64_t mn[3], int64_t mx[3]) {
+MinMax8 build_rec(BuildCtx& c, int64_t idx, int depth, int64_t mn[3],
+                  int64_t mx[3], int forks) {
     MinMax8 r;
     if (depth < c.orig_depth) {
         int sd = depth % 3;
@@ -197,11 +217,21 @@ MinMax8 build_rec(BuildCtx& c, int64_t idx, int depth, int64_t mn[3], int64_t mx
         int64_t a_mn[3] = {mn[0], mn[1], mn[2]};
         int64_t a_mx[3] = {mx[0], mx[1], mx[2]};
         a_mx[sd] = mid;
-        MinMax8 l = build_rec(c, 2 * idx + 1, depth + 1, a_mn, a_mx);
         int64_t b_mn[3] = {mn[0], mn[1], mn[2]};
         int64_t b_mx[3] = {mx[0], mx[1], mx[2]};
         b_mn[sd] = mid; b_mx[sd] = hi;
-        MinMax8 h = build_rec(c, 2 * idx + 2, depth + 1, b_mn, b_mx);
+        MinMax8 l, h;
+        if (forks > 0 && depth + 1 < c.orig_depth) {
+            auto fut = std::async(std::launch::async, [&] {
+                return build_rec(c, 2 * idx + 1, depth + 1, a_mn, a_mx,
+                                 forks - 1);
+            });
+            h = build_rec(c, 2 * idx + 2, depth + 1, b_mn, b_mx, forks - 1);
+            l = fut.get();
+        } else {
+            l = build_rec(c, 2 * idx + 1, depth + 1, a_mn, a_mx, 0);
+            h = build_rec(c, 2 * idx + 2, depth + 1, b_mn, b_mx, 0);
+        }
         r.mn = l.mn < h.mn ? l.mn : h.mn;
         r.mx = l.mx > h.mx ? l.mx : h.mx;
     } else {
@@ -227,14 +257,22 @@ inline int enc(int truth, int parent, int dist, uint8_t* code_out, int64_t* err_
     return sub_est;
 }
 
-bool prune_rec(BuildCtx& c, int64_t root, int tol) {
+bool prune_rec(BuildCtx& c, int64_t root, int tol, int forks) {
     // depth = floor(log2(root+1))
     int depth = 0;
     for (int64_t v = root + 1; v > 1; v >>= 1) ++depth;
     bool l = true, r = true, meets = true;
     if (depth < c.orig_depth) {
-        l = prune_rec(c, 2 * root + 1, tol);
-        r = prune_rec(c, 2 * root + 2, tol);
+        if (forks > 0 && depth + 1 < c.orig_depth) {
+            auto fut = std::async(std::launch::async, [&] {
+                return prune_rec(c, 2 * root + 1, tol, forks - 1);
+            });
+            r = prune_rec(c, 2 * root + 2, tol, forks - 1);
+            l = fut.get();
+        } else {
+            l = prune_rec(c, 2 * root + 1, tol, 0);
+            r = prune_rec(c, 2 * root + 2, tol, 0);
+        }
     }
     if (depth == c.orig_depth) {
         const int64_t ri = root - c.first_leaf;
@@ -274,7 +312,7 @@ extern "C" int64_t build_full_native(
     // PASS 1
     int64_t mn[3] = {0, 0, 0};
     int64_t mx[3] = {X, Y, Z};
-    build_rec(c, 0, 0, mn, mx);
+    build_rec(c, 0, 0, mn, mx, fork_levels());
 
     // PASS 2 — per-level seed + GD (fixed semantics; see kdtree.py docstring)
     std::vector<int32_t> recon_parents;
@@ -300,17 +338,33 @@ extern "C" int64_t build_full_native(
         }
         double cur = count > 0 ? std::floor(sum / count + 0.5) : 0.0;
 
-        auto eval = [&](int dist, bool fill) {
-            double err = 0.0;
-            for (int64_t i = start; i < end; ++i) {
+        auto eval_range = [&](int dist, bool fill, int64_t lo, int64_t hi) {
+            int64_t sum_sq = 0;
+            for (int64_t i = lo; i < hi; ++i) {
                 const int parent = i == 0 ? 0 : recon_parents[((i - 1) / 2) - parent_start];
                 int64_t e;
                 uint8_t code;
                 const int r = enc(c.temp[i], parent, dist, fill ? &code : nullptr, &e);
                 if (fill) { c.codes[i] = code; c.recon[i - start] = r; }
-                err += (double)(e * e);
+                sum_sq += e * e;
             }
-            return err / (double)n;
+            return sum_sq;
+        };
+        auto eval = [&](int dist, bool fill) {
+            const int T = (g_threads > 1 && n >= (1 << 16)) ? g_threads : 1;
+            int64_t total = 0;
+            if (T == 1) {
+                total = eval_range(dist, fill, start, end);
+            } else {
+                std::vector<std::future<int64_t>> futs;
+                for (int t = 1; t < T; ++t)
+                    futs.push_back(std::async(std::launch::async, eval_range,
+                                              dist, fill, start + n * t / T,
+                                              start + n * (t + 1) / T));
+                total = eval_range(dist, fill, start, start + n / T);
+                for (auto& f : futs) total += f.get();
+            }
+            return (double)total / (double)n;
         };
 
         int epoch = 0;
@@ -352,7 +406,7 @@ extern "C" int64_t build_full_native(
     c.recon.swap(recon_parents);  // leaf reconstructions
 
     // PASS 3
-    prune_rec(c, 0, tolerance);
+    prune_rec(c, 0, tolerance, fork_levels());
 
     // PASS 4 — preorder emit with branch growth (stack machine, :631-724)
     int64_t out_idx = 0;

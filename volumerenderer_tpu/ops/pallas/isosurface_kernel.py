@@ -23,8 +23,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import MAX_SAMPLES, bisection_refine, gradient_normal, phong
-from .raycast_kernel import (BIG, TILE_H, TILE_W, WIN_Y, WIN_Z, _pack_rays,
-                             _untile, spans_ok)
+from .raycast_kernel import (BIG, TILE_H, TILE_W, WIN_Y, _pack_rays,
+                             _untile, max_spans)
+
+WIN_Z = 4  # fixed window height (this kernel is not yet span-adaptive)
+
+
+def _spans_fit(entry_uv, direction, hit, dims, max_samples):
+    span_y, span_z = max_spans(entry_uv, direction, hit, dims, max_samples)
+    return span_z <= WIN_Z and span_y <= WIN_Y
 
 T_PER = 8
 
@@ -225,7 +232,7 @@ def render_isosurface_pallas(volume, entry_uv, direction, hit,
     unsupported = (X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
                    or H % TILE_H != 0 or W % TILE_W != 0)
     if not unsupported and check_spans:
-        unsupported = not spans_ok(entry_uv, direction, hit, dims, max_samples)
+        unsupported = not _spans_fit(entry_uv, direction, hit, dims, max_samples)
     if unsupported:
         return render_isosurface(volume, entry_uv, direction, hit,
                                  iso_value=iso_value, max_samples=max_samples)

@@ -44,7 +44,7 @@ from ..raycast import ALPHA_SCALE, EARLY_OUT_ALPHA, MAX_SAMPLES, apply_reference
 
 TILE_H = 8    # pixels per tile, rows
 TILE_W = 16   # pixels per tile, cols  -> 128 rays = one vreg of lanes
-WIN_Z = 4
+WIN_Z_MAX = 8   # oblique views; near-axis views compile with 4
 WIN_Y = 16
 BIG = 1 << 20
 
@@ -53,15 +53,16 @@ T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
 def _march_kernel(rays_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples):
+                  dims, max_samples, win_z):
     for tile in range(T_PER):
         _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile,
-                        dims=dims, max_samples=max_samples)
+                        dims=dims, max_samples=max_samples, win_z=win_z)
 
 
 def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
-                    dims, max_samples):
+                    dims, max_samples, win_z):
     X, Y, Z = dims
+    WIN_Z = win_z
     n_chunks = X // 128
     R = WIN_Z * WIN_Y
 
@@ -225,12 +226,13 @@ def pack_pairs(volume):
     return s * 256.0 + jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-def _launch(rays_packed, volume, dims, max_samples):
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
+def _launch(rays_packed, volume, dims, max_samples, win_z=4):
     n_tiles = rays_packed.shape[0]
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     vol_pairs = pack_pairs(volume)
-    kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples)
+    kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples,
+                               win_z=win_z)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
@@ -243,7 +245,7 @@ def _launch(rays_packed, volume, dims, max_samples):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_Z, WIN_Y, dims[0]), jnp.float32),
+            pltpu.VMEM((2, win_z, WIN_Y, dims[0]), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -274,9 +276,10 @@ def _untile(a, H, W):
     return t.transpose(0, 2, 1, 3).reshape(H, W)
 
 
-def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
-    """Host prepass: verify every (tile, step) footprint fits the (4, 16)
-    window.  Pure camera math (no volume access)."""
+def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
+    """Host prepass: the worst-case per-(tile, step) footprint extent
+    (span_y after 8-alignment of the window origin, span_z).  Pure camera
+    math (no volume access); decides the compiled window height."""
     X, Y, Z = dims
     H, W, _ = entry_uv.shape
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
@@ -310,10 +313,23 @@ def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
         cur_y = jnp.maximum(jnp.max(span_y), 0)
         return jnp.maximum(max_span, jnp.stack([cur_y, cur])), None
 
-    max_spans, _ = jax.lax.scan(scan_step, jnp.zeros(2, jnp.int32),
-                                jnp.arange(max_samples, dtype=jnp.float32))
-    span_y, span_z = int(max_spans[0]), int(max_spans[1])
-    return span_z <= WIN_Z and span_y <= WIN_Y
+    spans, _ = jax.lax.scan(scan_step, jnp.zeros(2, jnp.int32),
+                            jnp.arange(max_samples, dtype=jnp.float32))
+    return int(spans[0]), int(spans[1])
+
+
+def choose_win_z(span_z: int) -> int | None:
+    """Smallest supported window height covering the footprint (None =
+    unsupported, fall back to the jnp renderer)."""
+    for wz in (4, WIN_Z_MAX):
+        if span_z <= wz:
+            return wz
+    return None
+
+
+def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
+    span_y, span_z = max_spans(entry_uv, direction, hit, dims, max_samples)
+    return choose_win_z(span_z) is not None and span_y <= WIN_Y
 
 
 def render_compositing_pallas(volume, entry_uv, direction, hit,
@@ -331,18 +347,24 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
     Z, Y, X = volume.shape
     H, W, _ = entry_uv.shape
     dims = (X, Y, Z)
+    win_z = 4
     unsupported = (
-        wrap != "clamp" or X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
+        wrap != "clamp" or X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
         or H % TILE_H != 0 or W % TILE_W != 0
     )
     if not unsupported and check_spans:
-        unsupported = not spans_ok(entry_uv, direction, hit, dims, max_samples)
+        span_y, span_z = max_spans(entry_uv, direction, hit, dims, max_samples)
+        wz = choose_win_z(span_z)
+        if wz is None or span_y > WIN_Y or Z < wz:
+            unsupported = True
+        else:
+            win_z = wz
     if unsupported:
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
 
     rays = _pack_rays(entry_uv, direction, hit, dims)
-    color, alpha = _launch(rays, volume, dims, max_samples)
+    color, alpha = _launch(rays, volume, dims, max_samples, win_z=win_z)
     color = _untile(color, H, W)
     alpha = _untile(alpha, H, W)
     return apply_reference_transfer(color, alpha), alpha
@@ -363,10 +385,18 @@ class CompositingPlan:
         X, Y, Z = self.dims
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
-        self.use_kernel = not (
-            X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
+        self.win_z = None
+        shapes_ok = not (
+            X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
             or H % TILE_H != 0 or W % TILE_W != 0
-        ) and spans_ok(entry_uv, direction, hit, self.dims, max_samples)
+        )
+        if shapes_ok:
+            span_y, span_z = max_spans(entry_uv, direction, hit, self.dims,
+                                       max_samples)
+            wz = choose_win_z(span_z)
+            if wz is not None and span_y <= WIN_Y and Z >= wz:
+                self.win_z = wz
+        self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
 
@@ -379,7 +409,7 @@ class CompositingPlan:
             return render_compositing(volume, self.entry_uv, self.direction,
                                       self.hit, self.max_samples)
         color, alpha = _launch(self.rays_packed, volume, self.dims,
-                               self.max_samples)
+                               self.max_samples, win_z=self.win_z)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
