@@ -52,7 +52,7 @@ def test_spans_prepass_scaling():
     # window chooser: smallest compiled height that covers the footprint
     assert RK.choose_win_z(3) == 4
     assert RK.choose_win_z(4) == 4
-    assert RK.choose_win_z(5) == RK.WIN_Z_MAX
+    assert RK.choose_win_z(5) == 5
     assert RK.choose_win_z(RK.WIN_Z_MAX) == RK.WIN_Z_MAX
     assert RK.choose_win_z(RK.WIN_Z_MAX + 1) is None
 

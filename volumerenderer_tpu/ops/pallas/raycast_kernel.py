@@ -52,15 +52,15 @@ BIG = 1 << 20
 T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
-def _march_kernel(rays_ref, vol_ref, out_ref, slab, state, sem, *,
+def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
                   dims, max_samples, win_z):
     for tile in range(T_PER):
-        _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile,
-                        dims=dims, max_samples=max_samples, win_z=win_z)
+        _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                        tile, dims=dims, max_samples=max_samples, win_z=win_z)
 
 
-def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
-                    dims, max_samples, win_z):
+def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                    tile, *, dims, max_samples, win_z):
     X, Y, Z = dims
     WIN_Z = win_z
     n_chunks = X // 128
@@ -69,26 +69,22 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     # Vector state lives in VMEM scratch (rows: 0 px, 1 py, 2 pz, 3 color,
     # 4 alpha, 5 alive) — Mosaic cannot yield sub-tile vector carries, so the
     # while_loop carries only scalars.  The volume slab is double-buffered:
-    # the DMA for step t+1 (ray positions are analytic) overlaps the sampling
-    # and compositing of step t.
+    # the DMA for step t+1 overlaps the sampling and compositing of step t.
+    # Window origins come from a host-precomputed SMEM table (org_ref,
+    # (T_PER, max_samples+1, 2)): the footprint prepass replays the exact
+    # incremental position recurrence, so the table is bit-consistent with
+    # the in-kernel ray state and the per-step cross-lane min-reductions are
+    # gone from the loop.
     state[0:3, :] = rays_ref[tile, 0:3, :]
     state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
     state[5:6, :] = rays_ref[tile, 6:7, :]
 
     fdims = (jnp.float32(X), jnp.float32(Y), jnp.float32(Z))
 
-    def neighbors(py, pz):
-        ty = py * fdims[1] - 0.5
-        tz = pz * fdims[2] - 0.5
-        y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, Y - 1)
-        z0 = jnp.clip(jnp.floor(tz).astype(jnp.int32), 0, Z - 1)
-        return z0, y0
-
-    def origins(z0, y0, mask):
-        oz = jnp.min(jnp.where(mask, z0, BIG))
-        oy = jnp.min(jnp.where(mask, y0, BIG))
-        oz = jnp.clip(oz, 0, Z - WIN_Z)
-        oy = pl.multiple_of(jnp.clip((oy // 8) * 8, 0, Y - WIN_Y), 8)
+    def table_origin(t):
+        v = org_ref[tile, t]          # packed oz*2^16 + oy (both < 2^16)
+        oz = v >> 16
+        oy = pl.multiple_of(v & 0xFFFF, 8)
         return oz, oy
 
     def start_dma(slot, oz, oy):
@@ -109,8 +105,7 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     inside0 = ((p0x > 0.0) & (p0x < 1.0) & (p0y > 0.0) & (p0y < 1.0)
                & (p0z > 0.0) & (p0z < 1.0))
     alive0 = (state[5:6, :] > 0.5) & inside0
-    z00, y00 = neighbors(p0y, p0z)
-    oz0, oy0 = origins(z00, y00, alive0)
+    oz0, oy0 = table_origin(0)
     start_dma(0, oz0, oy0)
     state[0:1, :] = p0x
     state[1:2, :] = p0y
@@ -118,8 +113,8 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     state[5:6, :] = jnp.where(alive0, 1.0, 0.0)
 
     def body(carry):
-        t, _, oz_cur, oy_cur = carry
-        oy_cur = pl.multiple_of(oy_cur, 8)  # hint lost through the loop carry
+        t, _ = carry
+        oz_cur, oy_cur = table_origin(t)
         slot = jax.lax.rem(t, 2)
         nslot = jax.lax.rem(t + 1, 2)
         px = state[0:1, :]
@@ -135,9 +130,7 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         pnz = pz + rays_ref[tile, 5:6, :]
         inside_n = ((pnx > 0.0) & (pnx < 1.0) & (pny > 0.0) & (pny < 1.0)
                     & (pnz > 0.0) & (pnz < 1.0))
-        alive_n = alive & inside_n
-        z0n, y0n = neighbors(pny, pnz)
-        oz_n, oy_n = origins(z0n, y0n, alive_n)
+        oz_n, oy_n = table_origin(t + 1)
         start_dma(nslot, oz_n, oy_n)
 
         # (z, y) trilinear weights as exact tent functions: row i gets
@@ -205,16 +198,17 @@ def _march_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         state[3:4, :] = color
         state[4:5, :] = alpha
         state[5:6, :] = jnp.where(alive_next, 1.0, 0.0)
-        return t + 1, jnp.any(alive_next), oz_n, oy_n
+        return t + 1, jnp.any(alive_next)
 
     def cond(carry):
-        t, any_alive, _, _ = carry
+        t, any_alive = carry
         return (t < max_samples) & any_alive
 
-    t_end, _, oz_end, oy_end = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.any(alive0), oz0, oy0))
+    t_end, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.any(alive0)))
     # drain the last prefetched DMA so semaphores are clean for the next tile
-    wait_dma(jax.lax.rem(t_end, 2), oz_end, pl.multiple_of(oy_end, 8))
+    oz_end, oy_end = table_origin(t_end)
+    wait_dma(jax.lax.rem(t_end, 2), oz_end, oy_end)
     out_ref[tile, 0:2, :] = state[3:5, :]
 
 
@@ -227,9 +221,10 @@ def pack_pairs(volume):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
-def _launch(rays_packed, volume, dims, max_samples, win_z=4):
+def _launch(rays_packed, origins, volume, dims, max_samples, win_z=4):
     n_tiles = rays_packed.shape[0]
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
+    assert origins.shape == (n_tiles, max_samples + 1), origins.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples,
                                win_z=win_z)
@@ -239,6 +234,8 @@ def _launch(rays_packed, volume, dims, max_samples, win_z=4):
         in_specs=[
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_PER, max_samples + 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
@@ -249,7 +246,7 @@ def _launch(rays_packed, volume, dims, max_samples, win_z=4):
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, vol_pairs)
+    )(rays_packed, origins, vol_pairs)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -276,10 +273,14 @@ def _untile(a, H, W):
     return t.transpose(0, 2, 1, 3).reshape(H, W)
 
 
-def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
-    """Host prepass: the worst-case per-(tile, step) footprint extent
-    (span_y after 8-alignment of the window origin, span_z).  Pure camera
-    math (no volume access); decides the compiled window height."""
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
+def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
+    """Footprint prepass: per-(tile, step) window mins plus global max spans.
+    Pure camera math (no volume access).  Ray positions are accumulated
+    incrementally (``pos += dir_step``), matching the kernel's recurrence
+    bit-for-bit so the precomputed windows are exactly the ones the in-kernel
+    taps address.  Returns (spans (2,) i32 [span_y_aligned, span_z],
+    mins (tiles, max_samples+1, 2) i32 [y0_min, z0_min])."""
     X, Y, Z = dims
     H, W, _ = entry_uv.shape
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
@@ -294,9 +295,8 @@ def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
 
     fdims = jnp.array([X, Y, Z], jnp.float32)
 
-    def scan_step(carry, t):
-        max_span = carry
-        pos = e + (t + 1.0) * d
+    def scan_step(pos, _):
+        pos = pos + d
         inside = jnp.all((pos > 0.0) & (pos < 1.0), axis=-1) & hv
         tex = pos * fdims - 0.5
         i0 = jnp.floor(tex).astype(jnp.int32)
@@ -309,22 +309,41 @@ def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
         # y window must fit after 8-alignment of the origin
         span_y = jnp.where(any_in, mx[:, 1] - (mn[:, 1] // 8) * 8 + 1, 0)
         span_z = jnp.where(any_in, mx[:, 2] - mn[:, 2] + 1, 0)
-        cur = jnp.maximum(jnp.max(span_z), 0)
-        cur_y = jnp.maximum(jnp.max(span_y), 0)
-        return jnp.maximum(max_span, jnp.stack([cur_y, cur])), None
+        spans = jnp.stack([jnp.max(span_y), jnp.max(span_z)])
+        return pos, (spans, mn[:, 1], mn[:, 2])
 
-    spans, _ = jax.lax.scan(scan_step, jnp.zeros(2, jnp.int32),
-                            jnp.arange(max_samples, dtype=jnp.float32))
+    pos0 = e
+    _, (spans, mn_y, mn_z) = jax.lax.scan(scan_step, pos0, None,
+                                          length=max_samples + 1)
+    spans = jnp.maximum(spans[:-1].max(axis=0), 0)  # extra step excluded
+    mins = jnp.stack([mn_y.T, mn_z.T], axis=-1)     # (tiles, S+1, 2)
+    return spans, mins
+
+
+def _origin_table(mins, dims, win_z):
+    """Clip/align the footprint mins into DMA window origins, packed one i32
+    per (tile, step): ``oz * 2^16 + oy`` (SMEM pads the minor dim to 128
+    lanes, so the table must stay 2-D and scalar-per-step)."""
+    X, Y, Z = dims
+    oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
+    oz = jnp.clip(mins[..., 1], 0, Z - win_z)
+    return (oz * 65536 + oy).astype(jnp.int32)
+
+
+def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
+    """Worst-case per-(tile, step) footprint extent (span_y after 8-alignment
+    of the window origin, span_z); decides the compiled window height."""
+    spans, _ = _footprint_scan(entry_uv, direction, hit, dims, max_samples)
     return int(spans[0]), int(spans[1])
 
 
 def choose_win_z(span_z: int) -> int | None:
-    """Smallest supported window height covering the footprint (None =
-    unsupported, fall back to the jnp renderer)."""
-    for wz in (4, WIN_Z_MAX):
-        if span_z <= wz:
-            return wz
-    return None
+    """Smallest window height covering the footprint (None = unsupported,
+    fall back to the jnp renderer).  z is the outer dim of the window DMA, so
+    any height is legal — sampling cost scales with it, so exact is best."""
+    if span_z > WIN_Z_MAX:
+        return None
+    return max(4, span_z)
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
@@ -348,23 +367,29 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
     H, W, _ = entry_uv.shape
     dims = (X, Y, Z)
     win_z = 4
+    del check_spans  # the footprint prepass also builds the DMA window table
     unsupported = (
         wrap != "clamp" or X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
         or H % TILE_H != 0 or W % TILE_W != 0
     )
-    if not unsupported and check_spans:
-        span_y, span_z = max_spans(entry_uv, direction, hit, dims, max_samples)
+    origins = None
+    if not unsupported:
+        spans, mins = _footprint_scan(entry_uv, direction, hit, dims,
+                                      max_samples)
+        span_y, span_z = int(spans[0]), int(spans[1])
         wz = choose_win_z(span_z)
         if wz is None or span_y > WIN_Y or Z < wz:
             unsupported = True
         else:
             win_z = wz
+            origins = _origin_table(mins, dims, win_z)
     if unsupported:
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
 
     rays = _pack_rays(entry_uv, direction, hit, dims)
-    color, alpha = _launch(rays, volume, dims, max_samples, win_z=win_z)
+    color, alpha = _launch(rays, origins, volume, dims, max_samples,
+                           win_z=win_z)
     color = _untile(color, H, W)
     alpha = _untile(alpha, H, W)
     return apply_reference_transfer(color, alpha), alpha
@@ -391,11 +416,13 @@ class CompositingPlan:
             or H % TILE_H != 0 or W % TILE_W != 0
         )
         if shapes_ok:
-            span_y, span_z = max_spans(entry_uv, direction, hit, self.dims,
-                                       max_samples)
+            spans, mins = _footprint_scan(entry_uv, direction, hit, self.dims,
+                                          max_samples)
+            span_y, span_z = int(spans[0]), int(spans[1])
             wz = choose_win_z(span_z)
             if wz is not None and span_y <= WIN_Y and Z >= wz:
                 self.win_z = wz
+                self.origins = _origin_table(mins, self.dims, wz)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
@@ -408,8 +435,8 @@ class CompositingPlan:
         if not self.use_kernel:
             return render_compositing(volume, self.entry_uv, self.direction,
                                       self.hit, self.max_samples)
-        color, alpha = _launch(self.rays_packed, volume, self.dims,
-                               self.max_samples, win_z=self.win_z)
+        color, alpha = _launch(self.rays_packed, self.origins, volume,
+                               self.dims, self.max_samples, win_z=self.win_z)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
