@@ -1,12 +1,12 @@
 """Pallas TPU isosurface march — fast path for ``ops/isosurface.py``.
 
 Same tile-tube machinery as the compositing kernel (see
-``raycast_kernel.py`` and docs/PERF_NOTES.md): 128-ray tiles, per-step
-double-buffered window DMAs, sublane-iota trilinear weights + lane gathers.
-The kernel marches until the zero-crossing test fires
-(``(s - iso) < 0 && (s2 - iso) >= 0``, ``isosurface.frag:126``) and outputs
-the per-ray hit step; ``s2`` of step t is ``s`` of step t+1, so one sample per
-step is computed and cached.
+``raycast_kernel.py`` and docs/PERF_NOTES.md): 128-ray tiles, double-buffered
+window DMAs whose origins come from the host-precomputed SMEM table, and the
+shared pair-volume tent sampler.  The kernel marches until the zero-crossing
+test fires (``(s - iso) < 0 && (s2 - iso) >= 0``, ``isosurface.frag:126``)
+and outputs the per-ray hit step; ``s2`` of step t is ``s`` of step t+1, so
+one sample per step is computed and cached.
 
 Shading (4-step bisection, DELTA=0.01 central-difference normal, Phong —
 ``isosurface.frag:23-75``) runs as a host/jnp pass over the hit pixels only:
@@ -23,54 +23,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import MAX_SAMPLES, bisection_refine, gradient_normal, phong
-from .raycast_kernel import (BIG, TILE_H, TILE_W, WIN_Y, _pack_rays,
-                             _untile, max_spans)
-
-WIN_Z = 4  # fixed window height (this kernel is not yet span-adaptive)
-
-
-def _spans_fit(entry_uv, direction, hit, dims, max_samples):
-    span_y, span_z = max_spans(entry_uv, direction, hit, dims, max_samples)
-    return span_z <= WIN_Z and span_y <= WIN_Y
+from .raycast_kernel import (TILE_H, TILE_W, WIN_Y, _footprint_scan,
+                             _origin_table, _pack_rays, _untile, choose_win_z,
+                             pack_pairs, tent_sample)
 
 T_PER = 8
 
 
-def _iso_kernel(rays_ref, vol_ref, iso_ref, out_ref, slab, state, sem, *, dims,
-                max_samples):
+def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
+                sem, *, dims, max_samples, win_z):
     for tile in range(T_PER):
-        _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile,
-                      dims=dims, max_samples=max_samples,
+        _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                      tile, dims=dims, max_samples=max_samples, win_z=win_z,
                       iso255=iso_ref[0, 0])
 
 
-def _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
-                  dims, max_samples, iso255):
+def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                  tile, *, dims, max_samples, win_z, iso255):
     X, Y, Z = dims
-    n_chunks = X // 128
-    R = WIN_Z * WIN_Y
-    fdims = (jnp.float32(X), jnp.float32(Y), jnp.float32(Z))
+    WIN_Z = win_z
 
-    # state rows: 0-2 pos(t), 3 s(t), 4 found, 5 alive, 6 t_hit
-    def neighbors(px, py, pz):
-        tx = px * fdims[0] - 0.5
-        ty = py * fdims[1] - 0.5
-        tz = pz * fdims[2] - 0.5
-        x0f, y0f, z0f = jnp.floor(tx), jnp.floor(ty), jnp.floor(tz)
-        return dict(
-            x0=jnp.clip(x0f.astype(jnp.int32), 0, X - 1),
-            x1=jnp.clip(x0f.astype(jnp.int32) + 1, 0, X - 1),
-            y0=jnp.clip(y0f.astype(jnp.int32), 0, Y - 1),
-            y1=jnp.clip(y0f.astype(jnp.int32) + 1, 0, Y - 1),
-            z0=jnp.clip(z0f.astype(jnp.int32), 0, Z - 1),
-            z1=jnp.clip(z0f.astype(jnp.int32) + 1, 0, Z - 1),
-            fx=tx - x0f, fy=ty - y0f, fz=tz - z0f,
-        )
-
-    def origins(idx, mask):
-        oz = jnp.clip(jnp.min(jnp.where(mask, idx["z0"], BIG)), 0, Z - WIN_Z)
-        oy = jnp.min(jnp.where(mask, idx["y0"], BIG))
-        oy = pl.multiple_of(jnp.clip((oy // 8) * 8, 0, Y - WIN_Y), 8)
+    def table_origin(t):
+        v = org_ref[tile, t]          # packed oz*2^16 + oy (both < 2^16)
+        oz = v >> 16
+        oy = pl.multiple_of(v & 0xFFFF, 8)
         return oz, oy
 
     def dma(slot, oz, oy):
@@ -78,52 +54,21 @@ def _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
             vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
             slab.at[slot], sem.at[slot])
 
-    def sample(idx, slot, oz, oy):
-        zl0 = jnp.broadcast_to(idx["z0"] - oz, (R, 128))
-        zl1 = jnp.broadcast_to(idx["z1"] - oz, (R, 128))
-        yl0 = jnp.broadcast_to(idx["y0"] - oy, (R, 128))
-        yl1 = jnp.broadcast_to(idx["y1"] - oy, (R, 128))
-        iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-        iz = iota // WIN_Y
-        iy = iota % WIN_Y
-        fz_b = jnp.broadcast_to(idx["fz"], (R, 128))
-        fy_b = jnp.broadcast_to(idx["fy"], (R, 128))
-        w = ((jnp.where(iz == zl0, 1.0, 0.0) * (1.0 - fz_b)
-              + jnp.where(iz == zl1, 1.0, 0.0) * fz_b)
-             * (jnp.where(iy == yl0, 1.0, 0.0) * (1.0 - fy_b)
-                + jnp.where(iy == yl1, 1.0, 0.0) * fy_b))
-        rows = slab[slot].reshape(R, X).astype(jnp.float32)
-
-        def gather(xi):
-            xi_b = jnp.broadcast_to(xi, (R, 128))
-            out = jnp.take_along_axis(rows[:, 0:128],
-                                      jnp.clip(xi_b, 0, 127), axis=1)
-            for c in range(1, n_chunks):
-                cc = jnp.take_along_axis(rows[:, c * 128:(c + 1) * 128],
-                                         jnp.clip(xi_b - c * 128, 0, 127), axis=1)
-                out = jnp.where(xi_b >= c * 128, cc, out)
-            return out
-
-        fx_b = jnp.broadcast_to(idx["fx"], (R, 128))
-        v = gather(idx["x0"]) * (1.0 - fx_b) + gather(idx["x1"]) * fx_b
-        return jnp.sum(w * v, axis=0, keepdims=True)
-
-    # prologue: s(pos_0) synchronously; prefetch window for pos_1
+    # state rows: 0-2 pos(t), 3 s(t), 4 found, 5 alive, 6 t_hit
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
     d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
     hit0 = rays_ref[tile, 6:7, :] > 0.5
+
+    # prologue: s(pos_0) synchronously; prefetch window for pos_1
     p0 = [e[i] + d[i] for i in range(3)]
     in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
            & (p0[2] > 0.0) & (p0[2] < 1.0))
-    idx0 = neighbors(*p0)
-    oz0, oy0 = origins(idx0, hit0 & in0)
+    oz0, oy0 = table_origin(0)
     cp = dma(0, oz0, oy0)
     cp.start()
     cp.wait()
-    s0 = sample(idx0, 0, oz0, oy0)
-    p1 = [p0[i] + d[i] for i in range(3)]
-    idx1 = neighbors(*p1)
-    oz1, oy1 = origins(idx1, hit0 & in0)
+    s0 = tent_sample(slab[0], p0[0], p0[1], p0[2], oz0, oy0, dims, WIN_Z)
+    oz1, oy1 = table_origin(1)
     dma(1, oz1, oy1).start()
 
     state[0:1, :] = p0[0]
@@ -135,8 +80,7 @@ def _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
     state[6:7, :] = jnp.full((1, 128), -1.0, jnp.float32)
 
     def body(carry):
-        k, _, oz_c, oy_c = carry
-        oy_c = pl.multiple_of(oy_c, 8)
+        k, _ = carry
         slot = jax.lax.rem(k + 1, 2)
         nslot = jax.lax.rem(k, 2)
         px = state[0:1, :]
@@ -152,15 +96,13 @@ def _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         alive = alive & inside_k
 
         pn = [px + d[0], py + d[1], pz + d[2]]
-        pn2 = [pn[0] + d[0], pn[1] + d[1], pn[2] + d[2]]
-        idx_n2 = neighbors(*pn2)
-        ozn, oyn = origins(idx_n2, alive)
+        ozn, oyn = table_origin(k + 2)
         dma(nslot, ozn, oyn).start()
 
-        idx_n = neighbors(*pn)
-        wait = dma(slot, oz_c, oy_c)
-        wait.wait()
-        s_n = sample(idx_n, slot, oz_c, oy_c)
+        oz_c, oy_c = table_origin(k + 1)
+        dma(slot, oz_c, oy_c).wait()
+        s_n = tent_sample(slab[slot], pn[0], pn[1], pn[2], oz_c, oy_c,
+                          dims, WIN_Z)
 
         crossing = alive & (s_k < iso255) & (s_n >= iso255) & ~found
         t_hit = jnp.where(crossing, jnp.broadcast_to(
@@ -175,34 +117,40 @@ def _iso_one_tile(rays_ref, vol_ref, out_ref, slab, state, sem, tile, *,
         state[4:5, :] = jnp.where(found, 1.0, 0.0)
         state[5:6, :] = jnp.where(alive, 1.0, 0.0)
         state[6:7, :] = t_hit
-        return k + 1, jnp.any(alive), ozn, oyn
+        return k + 1, jnp.any(alive)
 
     def cond(carry):
-        k, any_alive, _, _ = carry
+        k, any_alive = carry
         return (k < max_samples) & any_alive
 
-    k_end, _, oz_e, oy_e = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.any(hit0 & in0), oz1, oy1))
+    k_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.any(hit0 & in0)))
     # drain the last prefetched DMA (issued by iteration k_end-1 into slot
     # rem(k_end-1, 2) == rem(k_end+1, 2); if the loop never ran this is the
     # prologue's slot-1 prefetch)
-    dma(jax.lax.rem(k_end + 1, 2), oz_e, pl.multiple_of(oy_e, 8)).wait()
+    oz_e, oy_e = table_origin(k_end + 1)
+    dma(jax.lax.rem(k_end + 1, 2), oz_e, oy_e).wait()
     out_ref[tile, 0:1, :] = state[4:5, :]   # found
     out_ref[tile, 1:2, :] = state[6:7, :]   # t_hit
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-def _launch(rays_packed, vol_scaled, iso255, dims, max_samples):
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
+def _launch(rays_packed, origins, volume, iso255, dims, max_samples, win_z=4):
     n_tiles = rays_packed.shape[0]
-    # bake the isovalue via closure-free capture: pass as an extra (1,1) input?
-    # simplest: fold into the kernel as a traced scalar through SMEM
-    kernel = functools.partial(_iso_kernel, dims=dims, max_samples=max_samples)
+    # the iso march samples positions 0..max_samples and prefetches one past,
+    # so the table carries max_samples + 2 entries
+    assert origins.shape == (n_tiles, max_samples + 2), origins.shape
+    vol_pairs = pack_pairs(volume)
+    kernel = functools.partial(_iso_kernel, dims=dims,
+                               max_samples=max_samples, win_z=win_z)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
         in_specs=[
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_PER, max_samples + 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -210,11 +158,11 @@ def _launch(rays_packed, vol_scaled, iso255, dims, max_samples):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_Z, WIN_Y, dims[0]), jnp.bfloat16),
+            pltpu.VMEM((2, win_z, WIN_Y, dims[0]), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, vol_scaled, iso255)
+    )(rays_packed, origins, vol_pairs, iso255)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -226,21 +174,32 @@ def render_isosurface_pallas(volume, entry_uv, direction, hit,
     March on TPU; bisection + normal + Phong shading on the hit set via jnp."""
     from ..isosurface import render_isosurface
 
+    del check_spans  # the footprint prepass also builds the DMA window table
     Z, Y, X = volume.shape
     H, W, _ = entry_uv.shape
     dims = (X, Y, Z)
-    unsupported = (X % 128 != 0 or Y % WIN_Y != 0 or Z < WIN_Z
+    win_z = 4
+    origins = None
+    unsupported = (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
                    or H % TILE_H != 0 or W % TILE_W != 0)
-    if not unsupported and check_spans:
-        unsupported = not _spans_fit(entry_uv, direction, hit, dims, max_samples)
+    if not unsupported:
+        spans, mins = _footprint_scan(entry_uv, direction, hit, dims,
+                                      max_samples + 1)
+        span_y, span_z = int(spans[0]), int(spans[1])
+        wz = choose_win_z(span_z)
+        if wz is None or span_y > WIN_Y or Z < wz:
+            unsupported = True
+        else:
+            win_z = wz
+            origins = _origin_table(mins, dims, win_z)
     if unsupported:
         return render_isosurface(volume, entry_uv, direction, hit,
                                  iso_value=iso_value, max_samples=max_samples)
 
-    vol_bf16 = (volume * 255.0).astype(jnp.bfloat16)
     rays = _pack_rays(entry_uv, direction, hit, dims)
     iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
-    found_t, t_hit_t = _launch(rays, vol_bf16, iso255, dims, max_samples)
+    found_t, t_hit_t = _launch(rays, origins, volume, iso255, dims,
+                               max_samples, win_z=win_z)
     found = _untile(found_t, H, W) > 0.5
     t_hit = _untile(t_hit_t, H, W)
 

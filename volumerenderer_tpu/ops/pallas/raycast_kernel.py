@@ -52,6 +52,70 @@ BIG = 1 << 20
 T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
+def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z):
+    """Trilinear sample of one pair-volume window for a 128-ray tile.
+
+    ``slab_block`` is the (win_z, WIN_Y, X) f32 window whose origin is
+    (oz, oy) in texel space; (px, py, pz) are (1, 128) positions in [0, 1]
+    texture space.  Returns (1, 128) f32 samples in 0..255 units.
+
+    (z, y) trilinear weights are exact tent functions: row i gets
+    max(0, 1 - |i - c|) with the tent center interpolated between the
+    CLAMPED taps (c = l0 + f*(l1 - l0)): at a volume edge l1 == l0 and the
+    edge row gets weight 1 — GL clamp-to-edge exactly, with fewer VPU ops
+    than the compare-select form.  All center math stays in f32 (int->float
+    casts on (1, 128) slices hang the Mosaic compiler).  The x taps both
+    ride in ONE packed f32 word of the pair volume (``pack_pairs``); the
+    clamped-floor index + clamped fractional reproduce GL clamp-to-edge at
+    both faces (pair[X-1] self-pairs by construction).
+    """
+    X, Y, Z = dims
+    R = win_z * WIN_Y
+    n_chunks = X // 128
+    fX, fY, fZ = jnp.float32(X), jnp.float32(Y), jnp.float32(Z)
+
+    tz_f = pz * fZ - 0.5
+    ty_f = py * fY - 0.5
+    z0f = jnp.floor(tz_f)
+    y0f = jnp.floor(ty_f)
+    z0c_f = jnp.clip(z0f, 0.0, float(Z - 1))
+    z1c_f = jnp.clip(z0f + 1.0, 0.0, float(Z - 1))
+    y0c_f = jnp.clip(y0f, 0.0, float(Y - 1))
+    y1c_f = jnp.clip(y0f + 1.0, 0.0, float(Y - 1))
+    oz_f = oz.astype(jnp.float32)
+    oy_f = oy.astype(jnp.float32)
+    cz = z0c_f - oz_f + (tz_f - z0f) * (z1c_f - z0c_f)
+    cy = y0c_f - oy_f + (ty_f - y0f) * (y1c_f - y0c_f)
+    cz_b = jnp.broadcast_to(cz, (R, 128))
+    cy_b = jnp.broadcast_to(cy, (R, 128))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    iz_f = (iota // WIN_Y).astype(jnp.float32)
+    iy_f = (iota % WIN_Y).astype(jnp.float32)
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(iz_f - cz_b))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy_f - cy_b))
+    w = wz * wy
+
+    tx_f = px * fX - 0.5
+    x0c_f = jnp.clip(jnp.floor(tx_f), 0.0, float(X - 1))
+    fx = jnp.clip(tx_f, 0.0, float(X - 1)) - x0c_f
+    xi = x0c_f.astype(jnp.int32)
+
+    rows = slab_block.reshape(R, X)
+    xi_b = jnp.broadcast_to(xi, (R, 128))
+    pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127), axis=1)
+    for c in range(1, n_chunks):
+        cc = jnp.take_along_axis(
+            rows[:, c * 128:(c + 1) * 128],
+            jnp.clip(xi_b - c * 128, 0, 127), axis=1)
+        pair = jnp.where(xi_b >= c * 128, cc, pair)
+
+    g0 = jnp.floor(pair * (1.0 / 256.0))   # exact: pair < 2^16 in f32
+    g1 = pair - g0 * 256.0
+    fx_b = jnp.broadcast_to(fx, (R, 128))
+    v = g0 * (1.0 - fx_b) + g1 * fx_b
+    return jnp.sum(w * v, axis=0, keepdims=True)
+
+
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
                   dims, max_samples, win_z):
     for tile in range(T_PER):
@@ -133,58 +197,9 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         oz_n, oy_n = table_origin(t + 1)
         start_dma(nslot, oz_n, oy_n)
 
-        # (z, y) trilinear weights as exact tent functions: row i gets
-        # max(0, 1 - |i - c|) with the tent center interpolated between the
-        # CLAMPED taps (c = l0 + f*(l1 - l0)): at a volume edge l1 == l0 and
-        # the edge row gets weight 1 — GL clamp-to-edge exactly, with fewer
-        # VPU ops than the compare-select form.  All center math stays in f32
-        # (int->float casts on (1, 128) slices hang the Mosaic compiler).
-        tz_f = pz * fdims[2] - 0.5
-        ty_f = py * fdims[1] - 0.5
-        z0f = jnp.floor(tz_f)
-        y0f = jnp.floor(ty_f)
-        z0c_f = jnp.clip(z0f, 0.0, float(Z - 1))
-        z1c_f = jnp.clip(z0f + 1.0, 0.0, float(Z - 1))
-        y0c_f = jnp.clip(y0f, 0.0, float(Y - 1))
-        y1c_f = jnp.clip(y0f + 1.0, 0.0, float(Y - 1))
-        oz_f = oz_cur.astype(jnp.float32)
-        oy_f = oy_cur.astype(jnp.float32)
-        cz = z0c_f - oz_f + (tz_f - z0f) * (z1c_f - z0c_f)
-        cy = y0c_f - oy_f + (ty_f - y0f) * (y1c_f - y0c_f)
-        cz_b = jnp.broadcast_to(cz, (R, 128))
-        cy_b = jnp.broadcast_to(cy, (R, 128))
-        iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-        iz_f = (iota // WIN_Y).astype(jnp.float32)
-        iy_f = (iota % WIN_Y).astype(jnp.float32)
-        wz = jnp.maximum(0.0, 1.0 - jnp.abs(iz_f - cz_b))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy_f - cy_b))
-        w = wz * wy
-
-        # x taps: both neighbors ride in ONE packed f32 word of the pair
-        # volume; the clamped-floor index + clamped fractional reproduce GL
-        # clamp-to-edge at both faces (pair[X-1] self-pairs by construction).
-        tx_f = px * fdims[0] - 0.5
-        x0c_f = jnp.clip(jnp.floor(tx_f), 0.0, float(X - 1))
-        fx = jnp.clip(tx_f, 0.0, float(X - 1)) - x0c_f
-        xi = x0c_f.astype(jnp.int32)
-
         wait_dma(slot, oz_cur, oy_cur)
-        rows = slab[slot].reshape(R, X)
-
-        xi_b = jnp.broadcast_to(xi, (R, 128))
-        pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127),
-                                   axis=1)
-        for c in range(1, n_chunks):
-            cc = jnp.take_along_axis(
-                rows[:, c * 128:(c + 1) * 128],
-                jnp.clip(xi_b - c * 128, 0, 127), axis=1)
-            pair = jnp.where(xi_b >= c * 128, cc, pair)
-
-        g0 = jnp.floor(pair * (1.0 / 256.0))   # exact: pair < 2^16 in f32
-        g1 = pair - g0 * 256.0
-        fx_b = jnp.broadcast_to(fx, (R, 128))
-        v = g0 * (1.0 - fx_b) + g1 * fx_b
-        smp = jnp.sum(w * v, axis=0, keepdims=True) * (1.0 / 255.0)
+        smp = tent_sample(slab[slot], px, py, pz, oz_cur, oy_cur,
+                          dims, win_z) * (1.0 / 255.0)
 
         prev_alpha = smp - smp * alpha
         color = jnp.where(alive, color + prev_alpha * smp, color)
