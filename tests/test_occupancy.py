@@ -1,0 +1,98 @@
+"""Occupancy mip, word table, and packed-neighborhood sampler tests (CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
+from volumerenderer_tpu.ops.sampling import (as_normalized_volume,
+                                             pack_neighborhoods,
+                                             sample_trilinear,
+                                             sample_trilinear_packed)
+
+
+def _rand_vol(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return as_normalized_volume(rng.integers(0, 256, size=shape,
+                                             dtype=np.uint8))
+
+
+def test_occupancy_mip_conservative():
+    """Every mip cell bounds the max over its covered (16, 16, 24) box."""
+    vol = _rand_vol((24, 40, 32), seed=1)
+    s = np.round(np.asarray(vol) * 255.0)
+    m = np.asarray(RK.occupancy_mip(vol))
+    Z, Y, X = s.shape
+    for i in range(m.shape[0]):
+        for j in range(m.shape[1]):
+            for k in range(m.shape[2]):
+                box = s[8 * i:8 * i + 16, 8 * j:8 * j + 16,
+                        8 * k:8 * k + 24]
+                assert m[i, j, k] >= box.max() - 1e-6
+
+
+def test_word_table_chain_and_origins():
+    """nd deltas walk exactly the sampled steps; origins match the packing."""
+    T, S1 = 3, 12
+    rng = np.random.default_rng(2)
+    mins = jnp.asarray(rng.integers(0, 60, size=(T, S1, 3)).astype(np.int32))
+    dims = (128, 64, 64)  # X, Y, Z
+    words = np.asarray(RK.build_word_table(mins, dims, 4, n_steps=S1))
+    assert words.shape == (T, S1)
+    oy_ref = np.clip((np.asarray(mins)[..., 0] // 8) * 8, 0, 64 - RK.WIN_Y)
+    oz_ref = np.clip(np.asarray(mins)[..., 1], 0, 64 - 4)
+    assert np.array_equal(((words >> 1) & 0xFF) * 8, oy_ref)
+    assert np.array_equal((words >> 9) & 0x7FF, oz_ref)
+    assert np.all(words & 1 == 1)          # dense: every step sampled
+    assert np.all(words[:, :-1] >> 20 == 1)  # and chained with delta 1
+    assert np.all(words[:, -1] >> 20 == 0)   # last has no successor
+
+
+def test_word_table_skipping_is_conservative():
+    """With a volume bound, a skipped step's window max is <= threshold."""
+    vol = _rand_vol((32, 32, 128), seed=3)
+    s = np.round(np.asarray(vol) * 255.0)
+    T, S1 = 4, 20
+    rng = np.random.default_rng(4)
+    mins_y = rng.integers(0, 32, size=(T, S1))
+    mins_z = rng.integers(0, 32, size=(T, S1))
+    mins_x = rng.integers(0, 120, size=(T, S1))
+    mins = jnp.asarray(np.stack([mins_y, mins_z, mins_x], -1).astype(np.int32))
+    thr = 200.0
+    words = np.asarray(RK.build_word_table(mins, (128, 32, 32), 4,
+                                           volume=vol, threshold=thr,
+                                           n_steps=S1))
+    oz = np.clip(mins_z, 0, 32 - 4)
+    oy = np.clip((mins_y // 8) * 8, 0, 32 - RK.WIN_Y)
+    ox = np.clip(mins_x, 0, 127)
+    for t in range(T):
+        for i in range(S1):
+            if words[t, i] & 1 == 0:
+                win = s[oz[t, i]:oz[t, i] + 4, oy[t, i]:oy[t, i] + RK.WIN_Y,
+                        ox[t, i]:ox[t, i] + RK.MIP_SPAN_X]
+                assert win.max() <= thr
+            # nd always points at the next sampled step
+            nd = words[t, i] >> 20
+            if nd:
+                assert words[t, i + nd] & 1 == 1
+                assert np.all(words[t, i + 1:i + nd] & 1 == 0)
+
+
+def test_packed_sampler_matches_dense():
+    vol = _rand_vol((16, 24, 32), seed=5)
+    packed = pack_neighborhoods(vol)
+    rng = np.random.default_rng(6)
+    uvw = jnp.asarray(rng.random((500, 3)).astype(np.float32))
+    a = np.asarray(sample_trilinear(vol, uvw))
+    b = np.asarray(sample_trilinear_packed(packed, uvw))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_packed_sampler_edges():
+    """Clamp-to-edge behavior at both faces matches the dense sampler."""
+    vol = _rand_vol((8, 8, 8), seed=7)
+    packed = pack_neighborhoods(vol)
+    edge = np.array([[0.001, 0.5, 0.5], [0.999, 0.5, 0.5],
+                     [0.5, 0.001, 0.999], [0.03, 0.97, 0.5],
+                     [0.0625, 0.0625, 0.0625]], np.float32)
+    a = np.asarray(sample_trilinear(vol, jnp.asarray(edge)))
+    b = np.asarray(sample_trilinear_packed(packed, jnp.asarray(edge)))
+    np.testing.assert_allclose(a, b, atol=2e-6)

@@ -2,16 +2,22 @@
 
 Same tile-tube machinery as the compositing kernel (see
 ``raycast_kernel.py`` and docs/PERF_NOTES.md): 128-ray tiles, double-buffered
-window DMAs whose origins come from the host-precomputed SMEM table, and the
-shared pair-volume tent sampler.  The kernel marches until the zero-crossing
-test fires (``(s - iso) < 0 && (s2 - iso) >= 0``, ``isosurface.frag:126``)
-and outputs the per-ray hit step; ``s2`` of step t is ``s`` of step t+1, so
-one sample per step is computed and cached.
+window DMAs driven by the host-precomputed SMEM word table, the shared
+pair-volume tent sampler — plus **exact empty-space skipping**: the word
+table (``build_word_table``) marks steps whose conservative window bound is
+below the isovalue, and the kernel iterates over *sampled* steps only,
+advancing ray positions across a gap with an inner loop of single-step adds
+(bit-identical to marching every step).  A crossing can never complete
+inside a skipped gap (``s2 >= iso`` needs a sample above the window bound),
+and the crossing test after a gap uses "previous sample < iso" — guaranteed
+by the bound — so hit steps and bisection brackets are exactly those of the
+dense march (``isosurface.frag:126``).
 
 Shading (4-step bisection, DELTA=0.01 central-difference normal, Phong —
-``isosurface.frag:23-75``) runs as a host/jnp pass over the hit pixels only:
-its sample offsets (±2.56 voxels at 256³) exceed the marching window, and the
-per-image cost (≤11 samples × hit pixels) is far below the march.
+``isosurface.frag:23-75``) runs as a jitted hit-masked pass against the
+packed-neighborhood volume (one gather slice per trilinear eval instead of
+eight): its sample offsets (±2.56 voxels at 256³) exceed the marching
+window, so it cannot ride the march kernel's DMA windows.
 """
 from __future__ import annotations
 
@@ -22,12 +28,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..isosurface import MAX_SAMPLES, bisection_refine, gradient_normal, phong
+from ..isosurface import MAX_SAMPLES, phong
 from .raycast_kernel import (TILE_H, TILE_W, WIN_Y, _footprint_scan,
-                             _origin_table, _pack_rays, _untile, choose_win_z,
-                             pack_pairs, tent_sample)
+                             _pack_rays, _untile, build_word_table,
+                             choose_win_z, pack_pairs, tent_sample)
 
 T_PER = 8
+
+
+def _unpack_word(v):
+    nd = v >> 20
+    oz = (v >> 9) & 0x7FF
+    oy = pl.multiple_of(((v >> 1) & 0xFF) * 8, 8)
+    s = v & 1
+    return nd, oz, oy, s
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
@@ -42,47 +56,69 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                   tile, *, dims, max_samples, win_z, iso255):
     X, Y, Z = dims
     WIN_Z = win_z
-
-    def table_origin(t):
-        v = org_ref[tile, t]          # packed oz*2^16 + oy (both < 2^16)
-        oz = v >> 16
-        oy = pl.multiple_of(v & 0xFFFF, 8)
-        return oz, oy
+    END = max_samples + 1  # one-past-last valid sample position index
 
     def dma(slot, oz, oy):
         return pltpu.make_async_copy(
             vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
             slab.at[slot], sem.at[slot])
 
-    # state rows: 0-2 pos(t), 3 s(t), 4 found, 5 alive, 6 t_hit
+    # state rows: 0-2 pos (at step t_prev), 3 s(t_prev), 4 found, 5 alive,
+    # 6 t_hit
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
     d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
     hit0 = rays_ref[tile, 6:7, :] > 0.5
 
-    # prologue: s(pos_0) synchronously; prefetch window for pos_1
+    # prologue: position 0; sample it synchronously iff its word says so
     p0 = [e[i] + d[i] for i in range(3)]
     in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
            & (p0[2] > 0.0) & (p0[2] < 1.0))
-    oz0, oy0 = table_origin(0)
-    cp = dma(0, oz0, oy0)
-    cp.start()
-    cp.wait()
-    s0 = tent_sample(slab[0], p0[0], p0[1], p0[2], oz0, oy0, dims, WIN_Z)
-    oz1, oy1 = table_origin(1)
-    dma(1, oz1, oy1).start()
-
+    w0 = org_ref[tile, 0]
+    nd0, oz0, oy0, s0bit = _unpack_word(w0)
     state[0:1, :] = p0[0]
     state[1:2, :] = p0[1]
     state[2:3, :] = p0[2]
-    state[3:4, :] = s0
+    # skipped position 0 is provably < iso: any value < iso255 stands in
+    state[3:4, :] = jnp.full((1, 128), -1.0, jnp.float32)
     state[4:5, :] = jnp.zeros((1, 128), jnp.float32)
     state[5:6, :] = jnp.where(hit0, 1.0, 0.0)
     state[6:7, :] = jnp.full((1, 128), -1.0, jnp.float32)
 
+    @pl.when(s0bit == 1)
+    def _():
+        cp = dma(0, oz0, oy0)
+        cp.start()
+        cp.wait()
+        state[3:4, :] = tent_sample(slab[0], p0[0], p0[1], p0[2], oz0, oy0,
+                                    dims, WIN_Z)
+
+    cnt0 = s0bit  # samples completed so far; pending DMA lives in slot cnt&1
+    t1 = jnp.where(nd0 > 0, nd0, END)
+    # always keep exactly one DMA in flight (dummy re-fetch of window 0 when
+    # the march is already over) so the drain logic is unconditional
+    t_issue = jnp.where(nd0 > 0, nd0, 0)
+    w1 = org_ref[tile, t_issue]
+    _, ozp, oyp, _ = _unpack_word(w1)
+    dma(jax.lax.rem(cnt0, 2), ozp, oyp).start()
+
     def body(carry):
-        k, _ = carry
-        slot = jax.lax.rem(k + 1, 2)
-        nslot = jax.lax.rem(k, 2)
+        t_prev, t_cur, cnt, _, pend = carry
+        slot = jax.lax.rem(cnt, 2)
+        w = org_ref[tile, t_cur]
+        nd, _, _, _ = _unpack_word(w)
+        _, oz_c, oy_c, _ = _unpack_word(pend)
+
+        # gap-run: advance positions one step at a time (bit-exact with the
+        # dense march) until pos is at step t_cur
+        def adv_body(k):
+            state[0:1, :] = state[0:1, :] + d[0]
+            state[1:2, :] = state[1:2, :] + d[1]
+            state[2:3, :] = state[2:3, :] + d[2]
+            return k + 1
+
+        jax.lax.while_loop(lambda k: k < t_cur - t_prev, adv_body,
+                           jnp.int32(0))
+
         px = state[0:1, :]
         py = state[1:2, :]
         pz = state[2:3, :]
@@ -91,55 +127,56 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         alive = state[5:6, :] > 0.5
         t_hit = state[6:7, :]
 
-        inside_k = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                    & (pz > 0.0) & (pz < 1.0))
-        alive = alive & inside_k
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = alive & inside
 
-        pn = [px + d[0], py + d[1], pz + d[2]]
-        ozn, oyn = table_origin(k + 2)
-        dma(nslot, ozn, oyn).start()
-
-        oz_c, oy_c = table_origin(k + 1)
         dma(slot, oz_c, oy_c).wait()
-        s_n = tent_sample(slab[slot], pn[0], pn[1], pn[2], oz_c, oy_c,
-                          dims, WIN_Z)
+        s_n = tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims, WIN_Z)
 
-        crossing = alive & (s_k < iso255) & (s_n >= iso255) & ~found
-        t_hit = jnp.where(crossing, jnp.broadcast_to(
-            k.astype(jnp.float32), t_hit.shape), t_hit)
+        # issue the DMA for the next sampled step (or a dummy re-fetch)
+        t_next = jnp.where(nd > 0, t_cur + nd, END)
+        t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
+        w_next = org_ref[tile, t_issue]
+        _, oz_n, oy_n, _ = _unpack_word(w_next)
+        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
+
+        # after a gap the (skipped) previous sample is provably < iso
+        s_prev = jnp.where(t_cur - t_prev == 1, s_k,
+                           jnp.full((1, 128), -1.0, jnp.float32))
+        crossing = alive & (s_prev < iso255) & (s_n >= iso255) & ~found
+        t_hit = jnp.where(
+            crossing,
+            jnp.broadcast_to((t_cur - 1).astype(jnp.float32), t_hit.shape),
+            t_hit)
         found = found | crossing
         alive = alive & ~found
 
-        state[0:1, :] = pn[0]
-        state[1:2, :] = pn[1]
-        state[2:3, :] = pn[2]
         state[3:4, :] = s_n
         state[4:5, :] = jnp.where(found, 1.0, 0.0)
         state[5:6, :] = jnp.where(alive, 1.0, 0.0)
         state[6:7, :] = t_hit
-        return k + 1, jnp.any(alive)
+        return t_cur, t_next, cnt + 1, jnp.any(alive), w_next
 
     def cond(carry):
-        k, any_alive = carry
-        return (k < max_samples) & any_alive
+        _, t_cur, _, any_alive, _ = carry
+        return (t_cur < END) & any_alive
 
-    k_end, _ = jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                               jnp.any(hit0 & in0)))
-    # drain the last prefetched DMA (issued by iteration k_end-1 into slot
-    # rem(k_end-1, 2) == rem(k_end+1, 2); if the loop never ran this is the
-    # prologue's slot-1 prefetch)
-    oz_e, oy_e = table_origin(k_end + 1)
-    dma(jax.lax.rem(k_end + 1, 2), oz_e, oy_e).wait()
+    end = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t1, cnt0, jnp.any(hit0 & in0), w1))
+    # exactly one DMA is always in flight — drain it
+    _, oz_e, oy_e, _ = _unpack_word(end[4])
+    dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
     out_ref[tile, 0:1, :] = state[4:5, :]   # found
     out_ref[tile, 1:2, :] = state[6:7, :]   # t_hit
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
-def _launch(rays_packed, origins, volume, iso255, dims, max_samples, win_z=4):
+def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4):
     n_tiles = rays_packed.shape[0]
-    # the iso march samples positions 0..max_samples and prefetches one past,
-    # so the table carries max_samples + 2 entries
-    assert origins.shape == (n_tiles, max_samples + 2), origins.shape
+    # the iso march samples positions 0..max_samples, so the word table
+    # carries max_samples + 2 entries (one-past for the dummy prefetch)
+    assert words.shape == (n_tiles, max_samples + 2), words.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_iso_kernel, dims=dims,
                                max_samples=max_samples, win_z=win_z)
@@ -162,56 +199,122 @@ def _launch(rays_packed, origins, volume, iso255, dims, max_samples, win_z=4):
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, origins, vol_pairs, iso255)
+    )(rays_packed, words, vol_pairs, iso255)
     return out[:, 0, :], out[:, 1, :]
 
 
-def render_isosurface_pallas(volume, entry_uv, direction, hit,
-                             iso_value=40.0 / 255.0,
-                             max_samples: int = MAX_SAMPLES,
-                             check_spans: bool = True):
-    """Drop-in fast replacement for ``render_isosurface`` (clamp wrap only).
-    March on TPU; bisection + normal + Phong shading on the hit set via jnp."""
-    from ..isosurface import render_isosurface
+class IsosurfacePlan:
+    """Plan-once / render-many isosurface raycaster.  ``bind(volume)`` builds
+    the occupancy word table so empty space is skipped exactly; unbound plans
+    sample every step."""
 
-    del check_spans  # the footprint prepass also builds the DMA window table
-    Z, Y, X = volume.shape
-    H, W, _ = entry_uv.shape
-    dims = (X, Y, Z)
-    win_z = 4
-    origins = None
-    unsupported = (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
-                   or H % TILE_H != 0 or W % TILE_W != 0)
-    if not unsupported:
-        spans, mins = _footprint_scan(entry_uv, direction, hit, dims,
-                                      max_samples + 1)
-        span_y, span_z = int(spans[0]), int(spans[1])
-        wz = choose_win_z(span_z)
-        if wz is None or span_y > WIN_Y or Z < wz:
-            unsupported = True
-        else:
-            win_z = wz
-            origins = _origin_table(mins, dims, win_z)
-    if unsupported:
-        return render_isosurface(volume, entry_uv, direction, hit,
-                                 iso_value=iso_value, max_samples=max_samples)
+    def __init__(self, entry_uv, direction, hit, dims,
+                 max_samples: int = MAX_SAMPLES):
+        self.entry_uv = entry_uv
+        self.direction = direction
+        self.hit = hit
+        self.dims = tuple(int(d) for d in dims)
+        self.max_samples = int(max_samples)
+        X, Y, Z = self.dims
+        H, W, _ = entry_uv.shape
+        self.shape = (H, W)
+        self.win_z = None
+        shapes_ok = not (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
+                         or H % TILE_H != 0 or W % TILE_W != 0)
+        if shapes_ok:
+            spans, mins = _footprint_scan(entry_uv, direction, hit,
+                                          self.dims, self.max_samples + 1)
+            span_y, span_z = int(spans[0]), int(spans[1])
+            wz = choose_win_z(span_z)
+            if wz is not None and span_y <= WIN_Y and Z >= wz:
+                self.win_z = wz
+                self.mins = mins
+                self.words_dense = build_word_table(
+                    mins, self.dims, wz, n_steps=self.max_samples + 1)
+        self.use_kernel = self.win_z is not None
+        if self.use_kernel:
+            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
 
-    rays = _pack_rays(entry_uv, direction, hit, dims)
-    iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
-    found_t, t_hit_t = _launch(rays, origins, volume, iso255, dims,
-                               max_samples, win_z=win_z)
-    found = _untile(found_t, H, W) > 0.5
-    t_hit = _untile(t_hit_t, H, W)
+    def bind(self, volume, iso_value):
+        """Occupancy word table for this volume + isovalue (exact skipping)."""
+        assert self.use_kernel
+        # skip iff the (integer-valued) window bound is strictly below iso:
+        # wmax > iso255 - 1e-3  <=>  wmax >= iso255 for 8-bit window maxima
+        return build_word_table(self.mins, self.dims, self.win_z,
+                                volume=volume,
+                                threshold=jnp.float32(iso_value * 255.0 - 1e-3),
+                                n_steps=self.max_samples + 1)
 
-    # shading pass (isosurface.frag:129-156) on the full image, masked by hit
+    def render(self, volume, iso_value=40.0 / 255.0, words=None):
+        from ..isosurface import render_isosurface
+
+        if not self.use_kernel:
+            return render_isosurface(volume, self.entry_uv, self.direction,
+                                     self.hit, iso_value=iso_value,
+                                     max_samples=self.max_samples)
+        if words is None:
+            words = self.words_dense
+        H, W = self.shape
+        iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
+        found_t, t_hit_t = _launch(self.rays_packed, words, volume, iso255,
+                                   self.dims, self.max_samples,
+                                   win_z=self.win_z)
+        found = _untile(found_t, H, W) > 0.5
+        t_hit = _untile(t_hit_t, H, W)
+        return _shade(volume, self.entry_uv, self.direction, found, t_hit,
+                      iso_value, self.dims)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _shade(volume, entry_uv, direction, found, t_hit, iso_value, dims):
+    """Shading pass (isosurface.frag:129-156) on the full image, hit-masked.
+
+    Gather-light: all 10 trilinear evals (4-step bisection + 6 gradient taps)
+    run against the packed-neighborhood volume — one gather slice per sample
+    instead of eight (``sampling.pack_neighborhoods``), with the same
+    bisection/normal/Phong arithmetic as the jnp reference path."""
+    from ..sampling import pack_neighborhoods, sample_trilinear_packed
+    from ..isosurface import DELTA
+
+    X, Y, Z = dims
+    packed = pack_neighborhoods(volume)
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
     pos_near = entry_uv + (t_hit[..., None] + 1.0) * step
     pos_far = pos_near + step
-    iso = jnp.float32(iso_value)
-    tc = bisection_refine(volume, pos_near, pos_far, iso)
-    N = gradient_normal(volume, tc)
+    iso = jnp.asarray(iso_value, jnp.float32)
+    left, right = pos_near, pos_far
+    for _ in range(4):  # Bisection, isosurface.frag:23-42
+        mid = (right + left) * 0.5
+        c_m = sample_trilinear_packed(packed, mid)
+        go_left = (c_m < iso)[..., None]
+        left = jnp.where(go_left, mid, left)
+        right = jnp.where(go_left, right, mid)
+    tc = (right + left) * 0.5
+    offsets = jnp.eye(3, dtype=jnp.float32) * DELTA
+    s1 = jnp.stack([sample_trilinear_packed(packed, tc - offsets[i])
+                    for i in range(3)], axis=-1)
+    s2 = jnp.stack([sample_trilinear_packed(packed, tc + offsets[i])
+                    for i in range(3)], axis=-1)
+    g = (s1 - s2) / 2.0
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    N = g / jnp.where(norm > 0, norm, 1.0)
     V = -direction
     color = jnp.clip(phong(V, N, V), 0.0, 1.0)
     white = jnp.ones(entry_uv.shape[:-1] + (3,), jnp.float32)
     rgb = jnp.where(found[..., None], color, white)
     return rgb, found
+
+
+def render_isosurface_pallas(volume, entry_uv, direction, hit,
+                             iso_value=40.0 / 255.0,
+                             max_samples: int = MAX_SAMPLES,
+                             check_spans: bool = True, skip_empty: bool = True):
+    """Drop-in fast replacement for ``render_isosurface`` (clamp wrap only).
+    March on TPU with exact empty-space skipping; bisection + normal + Phong
+    shading on the hit set via jnp."""
+    del check_spans  # the footprint prepass also builds the DMA window table
+    Z, Y, X = volume.shape
+    plan = IsosurfacePlan(entry_uv, direction, hit, (X, Y, Z), max_samples)
+    words = plan.bind(volume, iso_value) if (plan.use_kernel and skip_empty) \
+        else None
+    return plan.render(volume, iso_value, words=words)

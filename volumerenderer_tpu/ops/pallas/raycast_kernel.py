@@ -324,14 +324,16 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
         # y window must fit after 8-alignment of the origin
         span_y = jnp.where(any_in, mx[:, 1] - (mn[:, 1] // 8) * 8 + 1, 0)
         span_z = jnp.where(any_in, mx[:, 2] - mn[:, 2] + 1, 0)
-        spans = jnp.stack([jnp.max(span_y), jnp.max(span_z)])
-        return pos, (spans, mn[:, 1], mn[:, 2])
+        span_x = jnp.where(any_in, mx[:, 0] - mn[:, 0] + 1, 0)
+        spans = jnp.stack([jnp.max(span_y), jnp.max(span_z),
+                           jnp.max(span_x)])
+        return pos, (spans, mn[:, 1], mn[:, 2], mn[:, 0])
 
     pos0 = e
-    _, (spans, mn_y, mn_z) = jax.lax.scan(scan_step, pos0, None,
-                                          length=max_samples + 1)
+    _, (spans, mn_y, mn_z, mn_x) = jax.lax.scan(scan_step, pos0, None,
+                                                length=max_samples + 1)
     spans = jnp.maximum(spans[:-1].max(axis=0), 0)  # extra step excluded
-    mins = jnp.stack([mn_y.T, mn_z.T], axis=-1)     # (tiles, S+1, 2)
+    mins = jnp.stack([mn_y.T, mn_z.T, mn_x.T], axis=-1)  # (tiles, S+1, 3)
     return spans, mins
 
 
@@ -343,6 +345,84 @@ def _origin_table(mins, dims, win_z):
     oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
     oz = jnp.clip(mins[..., 1], 0, Z - win_z)
     return (oz * 65536 + oy).astype(jnp.int32)
+
+
+MIP_SPAN_X = 17  # max per-(tile, step) x extent the occupancy bound covers
+
+
+def occupancy_mip(volume):
+    """(Z, Y, X) f32 in [0, 1] -> (ceil(Z/8), ceil(Y/8), ceil(X/8)) f32
+    conservative footprint bound in 0..255 units: cell (i, j, k) is the max
+    8-bit sample over z in [8i, 8i+16), y in [8j, 8j+16), x in [8k, 8k+24).
+    One gather at (oz >> 3, oy >> 3, mn_x >> 3) bounds every tap of a
+    (win_z <= 8, WIN_Y = 16, x-span <= MIP_SPAN_X) tile-step footprint.
+
+    The empty-space-skipping role of the kd-tree's per-node midrange/extent
+    metadata (the capability the reference's stubbed compressed-domain
+    shader was reaching for, ``isosurface_compressed.frag:18-44``)."""
+    s = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0)
+    Z, Y, X = s.shape
+    pz, py, px = (-Z) % 8, (-Y) % 8, (-X) % 8
+    s = jnp.pad(s, ((0, pz), (0, py), (0, px)))
+    m8 = s.reshape((Z + pz) // 8, 8, (Y + py) // 8, 8,
+                   (X + px) // 8, 8).max(axis=(1, 3, 5))
+
+    def fwd_max(m, axis, reach):
+        out = m
+        for r in range(1, reach):
+            shifted = jnp.concatenate(
+                [jax.lax.slice_in_dim(m, r, m.shape[axis], axis=axis),
+                 jnp.repeat(jax.lax.slice_in_dim(m, m.shape[axis] - 1,
+                                                 m.shape[axis], axis=axis),
+                            r, axis=axis)], axis=axis)
+            out = jnp.maximum(out, shifted)
+        return out
+
+    m8 = fwd_max(m8, 0, 2)   # z: window ends before 8i+16
+    m8 = fwd_max(m8, 1, 2)   # y: 8-aligned origin, 16 rows
+    m8 = fwd_max(m8, 2, 3)   # x: unaligned span up to 17 fits 8k..8k+24
+    return m8
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "win_z", "n_steps"))
+def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
+                     n_steps=None):
+    """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
+    minor dim to 128 lanes so scalars must share a word):
+
+        bit  0       sample: the step's window may hold values > threshold
+        bits 1-8     window origin oy >> 3 (always 8-aligned)
+        bits 9-19    window origin oz
+        bits 20-29   delta to the next sampled step (0 = no more)
+
+    With ``volume=None`` every step is sampled (the dense path).  With a
+    volume, steps whose conservative window bound (``occupancy_mip``) is
+    <= ``threshold`` (0..255 units) are skipped: for compositing a skipped
+    window is exactly zero so the composite is a no-op; for isosurface a
+    skipped window cannot contain a crossing end (s2 >= iso needs a sample
+    above the bound) — both skips are exact, not approximations."""
+    X, Y, Z = dims
+    oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
+    oz = jnp.clip(mins[..., 1], 0, Z - win_z)
+    T, S1 = oz.shape
+    if volume is None:
+        sampled = jnp.ones((T, S1), bool)
+    else:
+        m = occupancy_mip(volume)
+        ox = jnp.clip(mins[..., 2], 0, dims[0] - 1)
+        wmax = m[oz >> 3, oy >> 3, ox >> 3]
+        sampled = wmax > threshold
+    if n_steps is not None:  # positions past the march length never sampled
+        sampled = sampled & (jnp.arange(S1) < n_steps)
+    idx = jnp.arange(S1, dtype=jnp.int32)
+    nxt = jnp.where(sampled, idx, jnp.int32(4 * S1))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((T, 1), 4 * S1, jnp.int32)], axis=1)
+    nd = jnp.where(after < S1, after - idx, 0)
+    word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
+            | sampled.astype(jnp.int32))
+    return word.astype(jnp.int32)
 
 
 def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
