@@ -30,18 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import MAX_SAMPLES, phong
 from .raycast_kernel import (TILE_H, TILE_W, WIN_Y, _footprint_scan,
-                             _pack_rays, _untile, build_word_table,
-                             choose_win_z, pack_pairs, tent_sample)
+                             _pack_rays, _untile, _unpack_word,
+                             build_word_table, choose_win_z, pack_pairs,
+                             tent_sample)
 
 T_PER = 8
-
-
-def _unpack_word(v):
-    nd = v >> 20
-    oz = (v >> 9) & 0x7FF
-    oy = pl.multiple_of(((v >> 1) & 0xFF) * 8, 8)
-    s = v & 1
-    return nd, oz, oy, s
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,

@@ -127,104 +127,112 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                     tile, *, dims, max_samples, win_z):
     X, Y, Z = dims
     WIN_Z = win_z
-    n_chunks = X // 128
-    R = WIN_Z * WIN_Y
+    END = max_samples  # one-past-last sampled position index
 
-    # Vector state lives in VMEM scratch (rows: 0 px, 1 py, 2 pz, 3 color,
-    # 4 alpha, 5 alive) — Mosaic cannot yield sub-tile vector carries, so the
-    # while_loop carries only scalars.  The volume slab is double-buffered:
-    # the DMA for step t+1 overlaps the sampling and compositing of step t.
-    # Window origins come from a host-precomputed SMEM table (org_ref,
-    # (T_PER, max_samples+1, 2)): the footprint prepass replays the exact
-    # incremental position recurrence, so the table is bit-consistent with
-    # the in-kernel ray state and the per-step cross-lane min-reductions are
-    # gone from the loop.
-    state[0:3, :] = rays_ref[tile, 0:3, :]
+    # Vector state lives in VMEM scratch (rows: 0-2 pos, 3 color, 4 alpha,
+    # 5 alive-latch) — Mosaic cannot yield sub-tile vector carries, so the
+    # while_loop carries only scalars.  The volume slab is double-buffered.
+    # Control comes from the host-precomputed SMEM word table (org_ref,
+    # (T_PER, max_samples+1) packed i32 per step — see build_word_table):
+    # the footprint prepass replays the exact incremental position
+    # recurrence, so windows are bit-consistent with the in-kernel ray
+    # state, and the kernel visits *sampled* steps only — skipped windows
+    # are exactly zero, so their composite is a no-op (raycaster.frag:69-72
+    # with s == 0), making empty-space skipping exact.
+    e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
+    d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
+    state[0:1, :] = e[0] + d[0]
+    state[1:2, :] = e[1] + d[1]
+    state[2:3, :] = e[2] + d[2]
     state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
     state[5:6, :] = rays_ref[tile, 6:7, :]
 
-    fdims = (jnp.float32(X), jnp.float32(Y), jnp.float32(Z))
-
-    def table_origin(t):
-        v = org_ref[tile, t]          # packed oz*2^16 + oy (both < 2^16)
-        oz = v >> 16
-        oy = pl.multiple_of(v & 0xFFFF, 8)
-        return oz, oy
-
-    def start_dma(slot, oz, oy):
-        cp = pltpu.make_async_copy(
+    def dma(slot, oz, oy):
+        return pltpu.make_async_copy(
             vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
             slab.at[slot], sem.at[slot])
-        cp.start()
 
-    def wait_dma(slot, oz, oy):
-        pltpu.make_async_copy(
-            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
-            slab.at[slot], sem.at[slot]).wait()
-
-    # prologue: position of step 0, issue its DMA
-    p0x = state[0:1, :] + rays_ref[tile, 3:4, :]
-    p0y = state[1:2, :] + rays_ref[tile, 4:5, :]
-    p0z = state[2:3, :] + rays_ref[tile, 5:6, :]
-    inside0 = ((p0x > 0.0) & (p0x < 1.0) & (p0y > 0.0) & (p0y < 1.0)
-               & (p0z > 0.0) & (p0z < 1.0))
-    alive0 = (state[5:6, :] > 0.5) & inside0
-    oz0, oy0 = table_origin(0)
-    start_dma(0, oz0, oy0)
-    state[0:1, :] = p0x
-    state[1:2, :] = p0y
-    state[2:3, :] = p0z
-    state[5:6, :] = jnp.where(alive0, 1.0, 0.0)
+    # prologue: issue the DMA for the first sampled step (or a dummy fetch
+    # of window 0 so exactly one DMA is always in flight)
+    w0 = org_ref[tile, 0]
+    nd0, _, _, s0bit = _unpack_word(w0)
+    t0 = jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
+    t_issue = jnp.where(t0 < END, t0, 0)
+    pend0 = org_ref[tile, t_issue]
+    _, ozp, oyp, _ = _unpack_word(pend0)
+    dma(0, ozp, oyp).start()
 
     def body(carry):
-        t, _ = carry
-        oz_cur, oy_cur = table_origin(t)
-        slot = jax.lax.rem(t, 2)
-        nslot = jax.lax.rem(t + 1, 2)
+        t_prev, t_cur, cnt, _, pend = carry
+        slot = jax.lax.rem(cnt, 2)
+        w = org_ref[tile, t_cur]
+        nd, _, _, _ = _unpack_word(w)
+        _, oz_c, oy_c, _ = _unpack_word(pend)
+
+        # gap-run: advance positions one step at a time (bit-exact with the
+        # dense march — a jump p += g*d would round differently)
+        def adv_body(k):
+            state[0:1, :] = state[0:1, :] + d[0]
+            state[1:2, :] = state[1:2, :] + d[1]
+            state[2:3, :] = state[2:3, :] + d[2]
+            return k + 1
+
+        jax.lax.while_loop(lambda k: k < t_cur - t_prev, adv_body,
+                           jnp.int32(0))
+
         px = state[0:1, :]
         py = state[1:2, :]
         pz = state[2:3, :]
         color = state[3:4, :]
         alpha = state[4:5, :]
-        alive = state[5:6, :] > 0.5
 
-        # issue next step's DMA before touching the current slab
-        pnx = px + rays_ref[tile, 3:4, :]
-        pny = py + rays_ref[tile, 4:5, :]
-        pnz = pz + rays_ref[tile, 5:6, :]
-        inside_n = ((pnx > 0.0) & (pnx < 1.0) & (pny > 0.0) & (pny < 1.0)
-                    & (pnz > 0.0) & (pnz < 1.0))
-        oz_n, oy_n = table_origin(t + 1)
-        start_dma(nslot, oz_n, oy_n)
+        # the inside test is monotone along a ray (convex cube), so testing
+        # only at sampled steps reproduces the dense per-step exit latch
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = (state[5:6, :] > 0.5) & inside
 
-        wait_dma(slot, oz_cur, oy_cur)
-        smp = tent_sample(slab[slot], px, py, pz, oz_cur, oy_cur,
-                          dims, win_z) * (1.0 / 255.0)
+        dma(slot, oz_c, oy_c).wait()
+        smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
+                          dims, WIN_Z) * (1.0 / 255.0)
+
+        # issue the DMA for the next sampled step (or a dummy re-fetch)
+        t_next = jnp.where(nd > 0, t_cur + nd, END)
+        t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
+        w_next = org_ref[tile, t_issue]
+        _, oz_n, oy_n, _ = _unpack_word(w_next)
+        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
 
         prev_alpha = smp - smp * alpha
         color = jnp.where(alive, color + prev_alpha * smp, color)
         alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
         alive = alive & (alpha <= EARLY_OUT_ALPHA)
-        alive_next = alive & inside_n
 
-        state[0:1, :] = pnx
-        state[1:2, :] = pny
-        state[2:3, :] = pnz
         state[3:4, :] = color
         state[4:5, :] = alpha
-        state[5:6, :] = jnp.where(alive_next, 1.0, 0.0)
-        return t + 1, jnp.any(alive_next)
+        state[5:6, :] = jnp.where(alive, 1.0, 0.0)
+        return t_cur, t_next, cnt + 1, jnp.any(alive), w_next
 
     def cond(carry):
-        t, any_alive = carry
-        return (t < max_samples) & any_alive
+        _, t_cur, _, any_alive, _ = carry
+        return (t_cur < END) & any_alive
 
-    t_end, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.any(alive0)))
-    # drain the last prefetched DMA so semaphores are clean for the next tile
-    oz_end, oy_end = table_origin(t_end)
-    wait_dma(jax.lax.rem(t_end, 2), oz_end, oy_end)
+    any0 = jnp.any(state[5:6, :] > 0.5)
+    end = jax.lax.while_loop(cond, body,
+                             (jnp.int32(0), t0, jnp.int32(0), any0, pend0))
+    # exactly one DMA is always in flight — drain it
+    _, oz_e, oy_e, _ = _unpack_word(end[4])
+    dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
     out_ref[tile, 0:2, :] = state[3:5, :]
+
+
+def _unpack_word(v):
+    """See build_word_table: nd<<20 | oz<<9 | (oy>>3)<<1 | sample."""
+    nd = v >> 20
+    oz = (v >> 9) & 0x7FF
+    oy = pl.multiple_of(((v >> 1) & 0xFF) * 8, 8)
+    smp = v & 1
+    return nd, oz, oy, smp
 
 
 def pack_pairs(volume):
@@ -236,10 +244,10 @@ def pack_pairs(volume):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
-def _launch(rays_packed, origins, volume, dims, max_samples, win_z=4):
+def _launch(rays_packed, words, volume, dims, max_samples, win_z=4):
     n_tiles = rays_packed.shape[0]
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
-    assert origins.shape == (n_tiles, max_samples + 1), origins.shape
+    assert words.shape == (n_tiles, max_samples + 1), words.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples,
                                win_z=win_z)
@@ -261,7 +269,7 @@ def _launch(rays_packed, origins, volume, dims, max_samples, win_z=4):
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, origins, vol_pairs)
+    )(rays_packed, words, vol_pairs)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -335,16 +343,6 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     spans = jnp.maximum(spans[:-1].max(axis=0), 0)  # extra step excluded
     mins = jnp.stack([mn_y.T, mn_z.T, mn_x.T], axis=-1)  # (tiles, S+1, 3)
     return spans, mins
-
-
-def _origin_table(mins, dims, win_z):
-    """Clip/align the footprint mins into DMA window origins, packed one i32
-    per (tile, step): ``oz * 2^16 + oy`` (SMEM pads the minor dim to 128
-    lanes, so the table must stay 2-D and scalar-per-step)."""
-    X, Y, Z = dims
-    oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
-    oz = jnp.clip(mins[..., 1], 0, Z - win_z)
-    return (oz * 65536 + oy).astype(jnp.int32)
 
 
 MIP_SPAN_X = 17  # max per-(tile, step) x extent the occupancy bound covers
@@ -477,7 +475,8 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
             unsupported = True
         else:
             win_z = wz
-            origins = _origin_table(mins, dims, win_z)
+            origins = build_word_table(mins, dims, win_z,
+                                       n_steps=max_samples)
     if unsupported:
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
@@ -517,20 +516,34 @@ class CompositingPlan:
             wz = choose_win_z(span_z)
             if wz is not None and span_y <= WIN_Y and Z >= wz:
                 self.win_z = wz
-                self.origins = _origin_table(mins, self.dims, wz)
+                self.mins = mins
+                self.words_dense = build_word_table(mins, self.dims, wz,
+                                                    n_steps=max_samples)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
 
-    def render(self, volume):
-        """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha)."""
+    def bind(self, volume):
+        """Occupancy word table for this volume: steps whose windows are
+        exactly zero are skipped (the composite of a zero sample is a no-op,
+        so outputs are unchanged)."""
+        assert self.use_kernel
+        return build_word_table(self.mins, self.dims, self.win_z,
+                                volume=volume, threshold=0.0,
+                                n_steps=self.max_samples)
+
+    def render(self, volume, words=None):
+        """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha).
+        Pass ``words=self.bind(volume)`` to skip empty space exactly."""
         from ..raycast import render_compositing
 
         H, W = self.shape
         if not self.use_kernel:
             return render_compositing(volume, self.entry_uv, self.direction,
                                       self.hit, self.max_samples)
-        color, alpha = _launch(self.rays_packed, self.origins, volume,
+        if words is None:
+            words = self.words_dense
+        color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
