@@ -96,3 +96,24 @@ def test_packed_sampler_edges():
     a = np.asarray(sample_trilinear(vol, jnp.asarray(edge)))
     b = np.asarray(sample_trilinear_packed(packed, jnp.asarray(edge)))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_compressed_renderer_make_plan():
+    """Plan-once compressed rendering matches the per-call path (CPU: both
+    route to the jnp renderer; on TPU the plan adds exact occupancy skip)."""
+    from volumerenderer_tpu import Camera, generate_rays
+    from volumerenderer_tpu.codecs.kdtree import build as build_tree
+    from volumerenderer_tpu.models.compressed import CompressedRenderer
+
+    rng = np.random.default_rng(11)
+    vol = rng.integers(0, 255, size=(16, 16, 16), dtype=np.uint8)
+    tree = build_tree(vol, tolerance=2, max_epochs=2)
+    r = CompressedRenderer(tree)
+    rays = generate_rays(Camera(width=32, height=16))
+    rgb_a, alpha_a = r.render(rays, mode="compositing")
+    plan_fn = r.make_plan(rays, mode="compositing")
+    rgb_b, alpha_b = plan_fn()
+    np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b), atol=1e-6)
+    rgb_c, found_c = r.make_plan(rays, mode="isosurface")()
+    rgb_d, found_d = r.render(rays, mode="isosurface")
+    np.testing.assert_array_equal(np.asarray(found_c), np.asarray(found_d))

@@ -83,3 +83,31 @@ class CompressedRenderer:
             return render_isosurface(vol, rays.entry_uv, rays.direction,
                                      rays.hit, **kwargs)
         raise ValueError(f"unknown mode {mode}")
+
+    def make_plan(self, rays, cut_depth: int | None = None,
+                  mode: str = "compositing", skip_empty: bool = True,
+                  iso_value: float = 40.0 / 255.0, max_samples: int = 300):
+        """Plan-once / render-many over this tree's level cut: precomputes the
+        tile packing, the DMA window table, and (``skip_empty``) the occupancy
+        words derived from the decoded cut — the tree's empty regions are
+        skipped exactly.  Returns a zero-argument callable producing the same
+        (rgb, alpha-or-hit) as :meth:`render`; falls back to the jnp path off
+        TPU or for unsupported cameras."""
+        vol = self.volume_at(cut_depth)
+        Z, Y, X = vol.shape
+        if mode == "compositing":
+            from ..ops.pallas.raycast_kernel import CompositingPlan
+
+            plan = CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                   (X, Y, Z), max_samples)
+            words = plan.bind(vol) if (skip_empty and plan.use_kernel) else None
+            return lambda: plan.render(vol, words=words)
+        elif mode == "isosurface":
+            from ..ops.pallas.isosurface_kernel import IsosurfacePlan
+
+            plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples)
+            words = plan.bind(vol, iso_value) \
+                if (skip_empty and plan.use_kernel) else None
+            return lambda: plan.render(vol, iso_value, words=words)
+        raise ValueError(f"unknown mode {mode}")
