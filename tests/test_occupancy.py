@@ -117,3 +117,52 @@ def test_compressed_renderer_make_plan():
     rgb_c, found_c = r.make_plan(rays, mode="isosurface")()
     rgb_d, found_d = r.render(rays, mode="isosurface")
     np.testing.assert_array_equal(np.asarray(found_c), np.asarray(found_d))
+
+
+def test_pair_word_table_chain_and_unions():
+    """Pair words: origins cover both steps' footprints; nd walks sampled
+    pairs; a skipped pair has both steps' window bounds <= threshold."""
+    vol = _rand_vol((32, 32, 128), seed=8)
+    s = np.round(np.asarray(vol) * 255.0)
+    T, S = 4, 20
+    rng = np.random.default_rng(9)
+    mn = rng.integers(0, 28, size=(T, S + 1, 3)).astype(np.int32)
+    mx = mn + rng.integers(0, 4, size=(T, S + 1, 3)).astype(np.int32)
+    mn[..., 2] = rng.integers(0, 110, size=(T, S + 1))
+    mx[..., 2] = mn[..., 2] + rng.integers(0, 8, size=(T, S + 1))
+    mins, maxs = jnp.asarray(mn), jnp.asarray(mx)
+    dims = (128, 32, 32)
+    win_z = 6
+    P = S // 2
+
+    pmn, spans = RK.pair_unions(mins, maxs, S)
+    pmn = np.asarray(pmn)
+    ref_mn = np.minimum(mn[:, 0:S:2], mn[:, 1:S:2])
+    ref_mx = np.maximum(mx[:, 0:S:2], mx[:, 1:S:2])
+    assert np.array_equal(pmn, ref_mn)
+    assert int(spans[1]) == int(
+        (ref_mx[..., 1] - ref_mn[..., 1] + 1).max())
+
+    thr = 200.0
+    words = np.asarray(RK.build_word_table_pairs(
+        mins, maxs, dims, win_z, S, volume=vol, threshold=thr))
+    assert words.shape == (T, P)
+    oy_ref = np.clip((ref_mn[..., 0] // 8) * 8, 0, 32 - RK.WIN_Y)
+    oz_ref = np.clip(ref_mn[..., 1], 0, 32 - win_z)
+    assert np.array_equal(((words >> 1) & 0xFF) * 8, oy_ref)
+    assert np.array_equal((words >> 9) & 0x7FF, oz_ref)
+    soz = np.clip(mn[..., 1], 0, 32 - win_z)
+    soy = np.clip((mn[..., 0] // 8) * 8, 0, 32 - RK.WIN_Y)
+    sox = np.clip(mn[..., 2], 0, 127)
+    for t in range(T):
+        for p in range(P):
+            if words[t, p] & 1 == 0:
+                for step in (2 * p, 2 * p + 1):
+                    win = s[soz[t, step]:soz[t, step] + win_z,
+                            soy[t, step]:soy[t, step] + RK.WIN_Y,
+                            sox[t, step]:sox[t, step] + RK.MIP_SPAN_X]
+                    assert win.max() <= thr
+            nd = words[t, p] >> 20
+            if nd:
+                assert words[t, p + nd] & 1 == 1
+                assert np.all(words[t, p + 1:p + nd] & 1 == 0)

@@ -215,8 +215,8 @@ class IsosurfacePlan:
         shapes_ok = not (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
                          or H % TILE_H != 0 or W % TILE_W != 0)
         if shapes_ok:
-            spans, mins = _footprint_scan(entry_uv, direction, hit,
-                                          self.dims, self.max_samples + 1)
+            spans, mins, _ = _footprint_scan(entry_uv, direction, hit,
+                                             self.dims, self.max_samples + 1)
             span_y, span_z = int(spans[0]), int(spans[1])
             wz = choose_win_z(span_z)
             if wz is not None and span_y <= WIN_Y and Z >= wz:

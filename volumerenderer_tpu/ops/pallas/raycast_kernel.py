@@ -117,10 +117,11 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z):
 
 
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples, win_z):
+                  dims, max_samples, win_z, pairs=False):
+    one_tile = _march_one_tile_pairs if pairs else _march_one_tile
     for tile in range(T_PER):
-        _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                        tile, dims=dims, max_samples=max_samples, win_z=win_z)
+        one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                 tile, dims=dims, max_samples=max_samples, win_z=win_z)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -226,6 +227,106 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
     out_ref[tile, 0:2, :] = state[3:5, :]
 
 
+def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
+                          sem, tile, *, dims, max_samples, win_z):
+    """Two march steps per DMA window: word ``p`` covers step indices ``2p``
+    and ``2p+1`` and its window is the union of both footprints, so the loop
+    runs half the iterations and issues half the DMAs of the per-step kernel
+    (window bytes stay ~constant — the union is 1-2 voxels taller).  Position
+    advance is still exactly ``pos += d`` once per step (gap runs replay the
+    skipped steps one at a time), so samples and composites are bit-identical
+    to the dense march.  Requires ``max_samples`` even."""
+    X, Y, Z = dims
+    WIN_Z = win_z
+    END = max_samples // 2  # one-past-last pair index
+
+    e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
+    d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
+    state[0:1, :] = e[0] + d[0]
+    state[1:2, :] = e[1] + d[1]
+    state[2:3, :] = e[2] + d[2]
+    state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
+    state[5:6, :] = rays_ref[tile, 6:7, :]
+
+    def dma(slot, oz, oy):
+        return pltpu.make_async_copy(
+            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
+            slab.at[slot], sem.at[slot])
+
+    w0 = org_ref[tile, 0]
+    nd0, _, _, s0bit = _unpack_word(w0)
+    t0 = jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
+    t_issue = jnp.where(t0 < END, t0, 0)
+    pend0 = org_ref[tile, t_issue]
+    _, ozp, oyp, _ = _unpack_word(pend0)
+    dma(0, ozp, oyp).start()
+
+    def substep(slot, oz_c, oy_c):
+        px = state[0:1, :]
+        py = state[1:2, :]
+        pz = state[2:3, :]
+        color = state[3:4, :]
+        alpha = state[4:5, :]
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = (state[5:6, :] > 0.5) & inside
+        smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
+                          dims, WIN_Z) * (1.0 / 255.0)
+        prev_alpha = smp - smp * alpha
+        color = jnp.where(alive, color + prev_alpha * smp, color)
+        alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
+        alive = alive & (alpha <= EARLY_OUT_ALPHA)
+        state[3:4, :] = color
+        state[4:5, :] = alpha
+        state[5:6, :] = jnp.where(alive, 1.0, 0.0)
+        return jnp.any(alive)
+
+    def body(carry):
+        pi, t_cur, cnt, _, pend = carry  # pi = position index held in state
+        slot = jax.lax.rem(cnt, 2)
+        w = org_ref[tile, t_cur]
+        nd, _, _, _ = _unpack_word(w)
+        _, oz_c, oy_c, _ = _unpack_word(pend)
+
+        # gap-run to step index 2*t_cur (bit-exact with the dense march)
+        def adv_body(k):
+            state[0:1, :] = state[0:1, :] + d[0]
+            state[1:2, :] = state[1:2, :] + d[1]
+            state[2:3, :] = state[2:3, :] + d[2]
+            return k + 1
+
+        jax.lax.while_loop(lambda k: k < 2 * t_cur - pi, adv_body,
+                           jnp.int32(0))
+
+        dma(slot, oz_c, oy_c).wait()
+        substep(slot, oz_c, oy_c)
+
+        # issue the DMA for the next sampled pair (or a dummy re-fetch)
+        t_next = jnp.where(nd > 0, t_cur + nd, END)
+        t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
+        w_next = org_ref[tile, t_issue]
+        _, oz_n, oy_n, _ = _unpack_word(w_next)
+        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
+
+        # second step of the pair from the same window
+        state[0:1, :] = state[0:1, :] + d[0]
+        state[1:2, :] = state[1:2, :] + d[1]
+        state[2:3, :] = state[2:3, :] + d[2]
+        any_alive = substep(slot, oz_c, oy_c)
+        return 2 * t_cur + 1, t_next, cnt + 1, any_alive, w_next
+
+    def cond(carry):
+        _, t_cur, _, any_alive, _ = carry
+        return (t_cur < END) & any_alive
+
+    any0 = jnp.any(state[5:6, :] > 0.5)
+    end = jax.lax.while_loop(cond, body,
+                             (jnp.int32(0), t0, jnp.int32(0), any0, pend0))
+    _, oz_e, oy_e, _ = _unpack_word(end[4])
+    dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
+    out_ref[tile, 0:2, :] = state[3:5, :]
+
+
 def _unpack_word(v):
     """See build_word_table: nd<<20 | oz<<9 | (oy>>3)<<1 | sample."""
     nd = v >> 20
@@ -243,21 +344,24 @@ def pack_pairs(volume):
     return s * 256.0 + jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
-def _launch(rays_packed, words, volume, dims, max_samples, win_z=4):
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "max_samples", "win_z", "pairs"))
+def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
+            pairs=False):
     n_tiles = rays_packed.shape[0]
+    n_words = (max_samples // 2) if pairs else (max_samples + 1)
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
-    assert words.shape == (n_tiles, max_samples + 1), words.shape
+    assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples,
-                               win_z=win_z)
+                               win_z=win_z, pairs=pairs)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
         in_specs=[
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_PER, max_samples + 1), lambda i: (i, 0),
+            pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -302,8 +406,9 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     Pure camera math (no volume access).  Ray positions are accumulated
     incrementally (``pos += dir_step``), matching the kernel's recurrence
     bit-for-bit so the precomputed windows are exactly the ones the in-kernel
-    taps address.  Returns (spans (2,) i32 [span_y_aligned, span_z],
-    mins (tiles, max_samples+1, 2) i32 [y0_min, z0_min])."""
+    taps address.  Returns (spans (3,) i32 [span_y_aligned, span_z, span_x],
+    mins (tiles, max_samples+1, 3) i32 [y0_min, z0_min, x0_min],
+    maxs (tiles, max_samples+1, 3) i32 [y1_max, z1_max, x1_max])."""
     X, Y, Z = dims
     H, W, _ = entry_uv.shape
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
@@ -335,14 +440,16 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
         span_x = jnp.where(any_in, mx[:, 0] - mn[:, 0] + 1, 0)
         spans = jnp.stack([jnp.max(span_y), jnp.max(span_z),
                            jnp.max(span_x)])
-        return pos, (spans, mn[:, 1], mn[:, 2], mn[:, 0])
+        return pos, (spans, mn[:, 1], mn[:, 2], mn[:, 0],
+                     mx[:, 1], mx[:, 2], mx[:, 0])
 
     pos0 = e
-    _, (spans, mn_y, mn_z, mn_x) = jax.lax.scan(scan_step, pos0, None,
-                                                length=max_samples + 1)
+    _, (spans, mn_y, mn_z, mn_x, mx_y, mx_z, mx_x) = jax.lax.scan(
+        scan_step, pos0, None, length=max_samples + 1)
     spans = jnp.maximum(spans[:-1].max(axis=0), 0)  # extra step excluded
     mins = jnp.stack([mn_y.T, mn_z.T, mn_x.T], axis=-1)  # (tiles, S+1, 3)
-    return spans, mins
+    maxs = jnp.stack([mx_y.T, mx_z.T, mx_x.T], axis=-1)
+    return spans, mins, maxs
 
 
 MIP_SPAN_X = 17  # max per-(tile, step) x extent the occupancy bound covers
@@ -423,10 +530,65 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
     return word.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_samples",))
+def pair_unions(mins, maxs, max_samples):
+    """Pair ``p`` = step indices (2p, 2p+1): union footprint mins and the
+    global worst-case pair spans.  Empty steps carry ±BIG sentinels, which the
+    min/max unions absorb.  Returns (pair mins (T, P, 3) [y, z, x],
+    spans (3,) i32 [span_y_aligned, span_z, span_x])."""
+    P = max_samples // 2
+    T = mins.shape[0]
+    mn = mins[:, :2 * P].reshape(T, P, 2, 3).min(axis=2)
+    mx = maxs[:, :2 * P].reshape(T, P, 2, 3).max(axis=2)
+    any_in = mx[..., 0] >= mn[..., 0]
+    span_y = jnp.where(any_in, mx[..., 0] - (mn[..., 0] // 8) * 8 + 1, 0)
+    span_z = jnp.where(any_in, mx[..., 1] - mn[..., 1] + 1, 0)
+    span_x = jnp.where(any_in, mx[..., 2] - mn[..., 2] + 1, 0)
+    spans = jnp.stack([span_y.max(), span_z.max(), span_x.max()])
+    return mn, jnp.maximum(spans, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "win_z", "max_samples"))
+def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
+                           threshold=0.0):
+    """Pair-granularity control words for ``_march_one_tile_pairs`` (same
+    packing as ``build_word_table``; nd counts *pairs*).  Window origins come
+    from the pair-union footprint; the occupancy skip tests each step's own
+    per-step bound (keeping the MIP_SPAN_X guarantee per step) and samples the
+    pair if either step may exceed ``threshold`` — a skipped pair's composite
+    is exactly a no-op, so skipping stays exact."""
+    X, Y, Z = dims
+    P = max_samples // 2
+    pmn, _ = pair_unions(mins, maxs, max_samples)
+    oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - WIN_Y)
+    oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
+    T = oz.shape[0]
+    if volume is None:
+        sampled = jnp.ones((T, P), bool)
+    else:
+        m = occupancy_mip(volume)
+        soz = jnp.clip(mins[..., 1], 0, Z - win_z)
+        soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
+        sox = jnp.clip(mins[..., 2], 0, X - 1)
+        wmax = m[soz >> 3, soy >> 3, sox >> 3]
+        s = wmax > threshold
+        sampled = s[:, :2 * P].reshape(T, P, 2).any(axis=2)
+    idx = jnp.arange(P, dtype=jnp.int32)
+    nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((T, 1), 4 * P + 4, jnp.int32)], axis=1)
+    nd = jnp.where(after < P, after - idx, 0)
+    word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
+            | sampled.astype(jnp.int32))
+    return word.astype(jnp.int32)
+
+
 def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     """Worst-case per-(tile, step) footprint extent (span_y after 8-alignment
     of the window origin, span_z); decides the compiled window height."""
-    spans, _ = _footprint_scan(entry_uv, direction, hit, dims, max_samples)
+    spans, _, _ = _footprint_scan(entry_uv, direction, hit, dims, max_samples)
     return int(spans[0]), int(spans[1])
 
 
@@ -466,24 +628,34 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
         or H % TILE_H != 0 or W % TILE_W != 0
     )
     origins = None
+    pairs = False
     if not unsupported:
-        spans, mins = _footprint_scan(entry_uv, direction, hit, dims,
-                                      max_samples)
-        span_y, span_z = int(spans[0]), int(spans[1])
-        wz = choose_win_z(span_z)
-        if wz is None or span_y > WIN_Y or Z < wz:
-            unsupported = True
-        else:
-            win_z = wz
-            origins = build_word_table(mins, dims, win_z,
-                                       n_steps=max_samples)
+        spans, mins, maxs = _footprint_scan(entry_uv, direction, hit, dims,
+                                            max_samples)
+        if max_samples % 2 == 0:
+            _, pspans = pair_unions(mins, maxs, max_samples)
+            pwz = choose_win_z(int(pspans[1]))
+            if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
+                pairs = True
+                win_z = pwz
+                origins = build_word_table_pairs(mins, maxs, dims, win_z,
+                                                 max_samples)
+        if not pairs:
+            span_y, span_z = int(spans[0]), int(spans[1])
+            wz = choose_win_z(span_z)
+            if wz is None or span_y > WIN_Y or Z < wz:
+                unsupported = True
+            else:
+                win_z = wz
+                origins = build_word_table(mins, dims, win_z,
+                                           n_steps=max_samples)
     if unsupported:
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
 
     rays = _pack_rays(entry_uv, direction, hit, dims)
     color, alpha = _launch(rays, origins, volume, dims, max_samples,
-                           win_z=win_z)
+                           win_z=win_z, pairs=pairs)
     color = _untile(color, H, W)
     alpha = _untile(alpha, H, W)
     return apply_reference_transfer(color, alpha), alpha
@@ -505,20 +677,31 @@ class CompositingPlan:
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
         self.win_z = None
+        self.pairs = False
         shapes_ok = not (
             X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
             or H % TILE_H != 0 or W % TILE_W != 0
         )
         if shapes_ok:
-            spans, mins = _footprint_scan(entry_uv, direction, hit, self.dims,
-                                          max_samples)
-            span_y, span_z = int(spans[0]), int(spans[1])
-            wz = choose_win_z(span_z)
-            if wz is not None and span_y <= WIN_Y and Z >= wz:
-                self.win_z = wz
-                self.mins = mins
-                self.words_dense = build_word_table(mins, self.dims, wz,
-                                                    n_steps=max_samples)
+            spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
+                                                self.dims, max_samples)
+            self.mins = mins
+            self.maxs = maxs
+            if max_samples % 2 == 0:
+                _, pspans = pair_unions(mins, maxs, max_samples)
+                pwz = choose_win_z(int(pspans[1]))
+                if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
+                    self.pairs = True
+                    self.win_z = pwz
+                    self.words_dense = build_word_table_pairs(
+                        mins, maxs, self.dims, pwz, max_samples)
+            if not self.pairs:
+                span_y, span_z = int(spans[0]), int(spans[1])
+                wz = choose_win_z(span_z)
+                if wz is not None and span_y <= WIN_Y and Z >= wz:
+                    self.win_z = wz
+                    self.words_dense = build_word_table(mins, self.dims, wz,
+                                                        n_steps=max_samples)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
@@ -528,6 +711,10 @@ class CompositingPlan:
         exactly zero are skipped (the composite of a zero sample is a no-op,
         so outputs are unchanged)."""
         assert self.use_kernel
+        if self.pairs:
+            return build_word_table_pairs(self.mins, self.maxs, self.dims,
+                                          self.win_z, self.max_samples,
+                                          volume=volume, threshold=0.0)
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume, threshold=0.0,
                                 n_steps=self.max_samples)
@@ -544,7 +731,8 @@ class CompositingPlan:
         if words is None:
             words = self.words_dense
         color, alpha = _launch(self.rays_packed, words, volume,
-                               self.dims, self.max_samples, win_z=self.win_z)
+                               self.dims, self.max_samples, win_z=self.win_z,
+                               pairs=self.pairs)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
