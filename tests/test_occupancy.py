@@ -135,7 +135,7 @@ def test_pair_word_table_chain_and_unions():
     win_z = 6
     P = S // 2
 
-    pmn, spans = RK.pair_unions(mins, maxs, S)
+    pmn, pmx, spans = RK.pair_unions(mins, maxs, S)
     pmn = np.asarray(pmn)
     ref_mn = np.minimum(mn[:, 0:S:2], mn[:, 1:S:2])
     ref_mx = np.maximum(mx[:, 0:S:2], mx[:, 1:S:2])
@@ -166,3 +166,46 @@ def test_pair_word_table_chain_and_unions():
             if nd:
                 assert words[t, p + nd] & 1 == 1
                 assert np.all(words[t, p + 1:p + nd] & 1 == 0)
+
+
+def test_narrow_x_dual_copy_layout_and_xwords():
+    """pack_pairs_narrow panels hold the pair volume (copy 0) and its
+    64-shifted copy; every pair x interval of span <= NARROW_SPAN_X is covered
+    by its x word's panel, and xeff names the panel's volume-x origin."""
+    vol = _rand_vol((8, 16, 256), seed=12)
+    X = 256
+    chunked = np.asarray(RK.pack_pairs_narrow(vol))
+    p = np.asarray(RK.pack_pairs(vol))
+    for ci in range(X // 128):
+        assert np.array_equal(chunked[ci], p[:, :, ci * 128:(ci + 1) * 128])
+    shifted = np.concatenate(
+        [p[:, :, 64:], np.repeat(p[:, :, -1:], 64, axis=2)], axis=2)
+    for j in range(X // 128):
+        assert np.array_equal(chunked[X // 128 + j],
+                              shifted[:, :, j * 128:(j + 1) * 128])
+
+    T, S = 3, 12
+    rng = np.random.default_rng(13)
+    mn = rng.integers(0, 8, size=(T, S + 1, 3)).astype(np.int32)
+    mx = mn + 1
+    mn[..., 2] = rng.integers(0, 255 - RK.NARROW_SPAN_X, size=(T, S + 1))
+    mx[..., 2] = mn[..., 2] + rng.integers(
+        0, RK.NARROW_SPAN_X, size=(T, S + 1))
+    xw = np.asarray(RK.build_xword_table(jnp.asarray(mn), jnp.asarray(mx),
+                                         (X, 16, 8), S))
+    P = S // 2
+    a = np.minimum(mn[:, 0:S:2, 2], mn[:, 1:S:2, 2])
+    b = np.maximum(mx[:, 0:S:2, 2], mx[:, 1:S:2, 2])
+    assert xw.shape == (T, P)
+    ci = xw >> 16
+    xeff = xw & 0xFFFF
+    # coverage is guaranteed only under the caller-checked precondition
+    # span_x_pair <= NARROW_SPAN_X (the plan falls back to full-width
+    # windows otherwise)
+    ok = (b - a) < RK.NARROW_SPAN_X
+    assert ok.any()
+    assert np.all((xeff <= a) | ~ok) and np.all((b <= xeff + 127) | ~ok)
+    half = X // 128
+    assert np.all(np.where(ci < half, ci * 128,
+                           (ci - half) * 128 + 64) == xeff)
+    assert np.all(ci < 2 * half)

@@ -52,7 +52,7 @@ BIG = 1 << 20
 T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
-def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z):
+def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0):
     """Trilinear sample of one pair-volume window for a 128-ray tile.
 
     ``slab_block`` is the (win_z, WIN_Y, X) f32 window whose origin is
@@ -71,7 +71,8 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z):
     """
     X, Y, Z = dims
     R = win_z * WIN_Y
-    n_chunks = X // 128
+    width = slab_block.shape[-1]  # X (full-width) or 128 (narrow-x window,
+    n_chunks = width // 128       # volume x of column 0 = ``xeff``)
     fX, fY, fZ = jnp.float32(X), jnp.float32(Y), jnp.float32(Z)
 
     tz_f = pz * fZ - 0.5
@@ -100,8 +101,8 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z):
     fx = jnp.clip(tx_f, 0.0, float(X - 1)) - x0c_f
     xi = x0c_f.astype(jnp.int32)
 
-    rows = slab_block.reshape(R, X)
-    xi_b = jnp.broadcast_to(xi, (R, 128))
+    rows = slab_block.reshape(R, width)
+    xi_b = jnp.broadcast_to(xi - xeff, (R, 128))
     pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127), axis=1)
     for c in range(1, n_chunks):
         cc = jnp.take_along_axis(
@@ -122,6 +123,15 @@ def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
     for tile in range(T_PER):
         one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                  tile, dims=dims, max_samples=max_samples, win_z=win_z)
+
+
+def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
+                         state, sem, *, dims, max_samples, win_z):
+    for tile in range(T_PER):
+        _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab,
+                              state, sem, tile, dims=dims,
+                              max_samples=max_samples, win_z=win_z,
+                              xorg_ref=xorg_ref)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -228,17 +238,24 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
 
 def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
-                          sem, tile, *, dims, max_samples, win_z):
+                          sem, tile, *, dims, max_samples, win_z,
+                          xorg_ref=None):
     """Two march steps per DMA window: word ``p`` covers step indices ``2p``
     and ``2p+1`` and its window is the union of both footprints, so the loop
     runs half the iterations and issues half the DMAs of the per-step kernel
     (window bytes stay ~constant — the union is 1-2 voxels taller).  Position
     advance is still exactly ``pos += d`` once per step (gap runs replay the
     skipped steps one at a time), so samples and composites are bit-identical
-    to the dense march.  Requires ``max_samples`` even."""
+    to the dense march.  Requires ``max_samples`` even.
+
+    With ``xorg_ref`` (narrow-x mode) the volume is the chunked dual-copy
+    layout of ``pack_pairs_narrow`` and each window DMA moves one 128-lane
+    panel chosen by the x word — half the bytes at X=256 and a single-chunk
+    lane gather."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = max_samples // 2  # one-past-last pair index
+    narrow = xorg_ref is not None
 
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
     d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
@@ -248,20 +265,26 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
     state[5:6, :] = rays_ref[tile, 6:7, :]
 
-    def dma(slot, oz, oy):
-        return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
-            slab.at[slot], sem.at[slot])
+    def dma(slot, oz, oy, xw):
+        if narrow:
+            src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+        else:
+            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+        return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
+
+    def xword(t):
+        return xorg_ref[tile, t] if narrow else jnp.int32(0)
 
     w0 = org_ref[tile, 0]
     nd0, _, _, s0bit = _unpack_word(w0)
     t0 = jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
     t_issue = jnp.where(t0 < END, t0, 0)
     pend0 = org_ref[tile, t_issue]
+    pendx0 = xword(t_issue)
     _, ozp, oyp, _ = _unpack_word(pend0)
-    dma(0, ozp, oyp).start()
+    dma(0, ozp, oyp, pendx0).start()
 
-    def substep(slot, oz_c, oy_c):
+    def substep(slot, oz_c, oy_c, xeff):
         px = state[0:1, :]
         py = state[1:2, :]
         pz = state[2:3, :]
@@ -271,7 +294,7 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                   & (pz > 0.0) & (pz < 1.0))
         alive = (state[5:6, :] > 0.5) & inside
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z) * (1.0 / 255.0)
+                          dims, WIN_Z, xeff=xeff) * (1.0 / 255.0)
         prev_alpha = smp - smp * alpha
         color = jnp.where(alive, color + prev_alpha * smp, color)
         alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
@@ -282,11 +305,12 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         return jnp.any(alive)
 
     def body(carry):
-        pi, t_cur, cnt, _, pend = carry  # pi = position index held in state
+        pi, t_cur, cnt, _, pend, pendx = carry  # pi = state's position index
         slot = jax.lax.rem(cnt, 2)
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
+        xeff = pendx & 0xFFFF
 
         # gap-run to step index 2*t_cur (bit-exact with the dense march)
         def adv_body(k):
@@ -298,32 +322,34 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         jax.lax.while_loop(lambda k: k < 2 * t_cur - pi, adv_body,
                            jnp.int32(0))
 
-        dma(slot, oz_c, oy_c).wait()
-        substep(slot, oz_c, oy_c)
+        dma(slot, oz_c, oy_c, pendx).wait()
+        substep(slot, oz_c, oy_c, xeff)
 
         # issue the DMA for the next sampled pair (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
+        x_next = xword(t_issue)
         _, oz_n, oy_n, _ = _unpack_word(w_next)
-        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
+        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n, x_next).start()
 
         # second step of the pair from the same window
         state[0:1, :] = state[0:1, :] + d[0]
         state[1:2, :] = state[1:2, :] + d[1]
         state[2:3, :] = state[2:3, :] + d[2]
-        any_alive = substep(slot, oz_c, oy_c)
-        return 2 * t_cur + 1, t_next, cnt + 1, any_alive, w_next
+        any_alive = substep(slot, oz_c, oy_c, xeff)
+        return 2 * t_cur + 1, t_next, cnt + 1, any_alive, w_next, x_next
 
     def cond(carry):
-        _, t_cur, _, any_alive, _ = carry
+        _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
     any0 = jnp.any(state[5:6, :] > 0.5)
-    end = jax.lax.while_loop(cond, body,
-                             (jnp.int32(0), t0, jnp.int32(0), any0, pend0))
+    end = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0))
     _, oz_e, oy_e, _ = _unpack_word(end[4])
-    dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
+    dma(jax.lax.rem(end[2], 2), oz_e, oy_e, end[5]).wait()
     out_ref[tile, 0:2, :] = state[3:5, :]
 
 
@@ -347,33 +373,53 @@ def pack_pairs(volume):
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "pairs"))
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
-            pairs=False):
+            pairs=False, xwords=None):
     n_tiles = rays_packed.shape[0]
     n_words = (max_samples // 2) if pairs else (max_samples + 1)
+    narrow = xwords is not None
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
-    vol_pairs = pack_pairs(volume)
-    kernel = functools.partial(_march_kernel, dims=dims, max_samples=max_samples,
-                               win_z=win_z, pairs=pairs)
+    assert not narrow or pairs
+    word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    if narrow:
+        vol_pairs = pack_pairs_narrow(volume)
+        kernel = functools.partial(_march_kernel_narrow, dims=dims,
+                                   max_samples=max_samples, win_z=win_z)
+        in_specs = [
+            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec, word_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        operands = (rays_packed, words, xwords, vol_pairs)
+        slab_w = 128
+    else:
+        vol_pairs = pack_pairs(volume)
+        kernel = functools.partial(_march_kernel, dims=dims,
+                                   max_samples=max_samples,
+                                   win_z=win_z, pairs=pairs)
+        in_specs = [
+            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        operands = (rays_packed, words, vol_pairs)
+        slab_w = dims[0]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
-        in_specs=[
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, dims[0]), jnp.float32),
+            pltpu.VMEM((2, win_z, WIN_Y, slab_w), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, words, vol_pairs)
+    )(*operands)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -535,7 +581,7 @@ def pair_unions(mins, maxs, max_samples):
     """Pair ``p`` = step indices (2p, 2p+1): union footprint mins and the
     global worst-case pair spans.  Empty steps carry ±BIG sentinels, which the
     min/max unions absorb.  Returns (pair mins (T, P, 3) [y, z, x],
-    spans (3,) i32 [span_y_aligned, span_z, span_x])."""
+    pair maxs (T, P, 3), spans (3,) i32 [span_y_aligned, span_z, span_x])."""
     P = max_samples // 2
     T = mins.shape[0]
     mn = mins[:, :2 * P].reshape(T, P, 2, 3).min(axis=2)
@@ -545,7 +591,7 @@ def pair_unions(mins, maxs, max_samples):
     span_z = jnp.where(any_in, mx[..., 1] - mn[..., 1] + 1, 0)
     span_x = jnp.where(any_in, mx[..., 2] - mn[..., 2] + 1, 0)
     spans = jnp.stack([span_y.max(), span_z.max(), span_x.max()])
-    return mn, jnp.maximum(spans, 0)
+    return mn, mx, jnp.maximum(spans, 0)
 
 
 @functools.partial(jax.jit,
@@ -560,7 +606,7 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
     is exactly a no-op, so skipping stays exact."""
     X, Y, Z = dims
     P = max_samples // 2
-    pmn, _ = pair_unions(mins, maxs, max_samples)
+    pmn, _, _ = pair_unions(mins, maxs, max_samples)
     oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - WIN_Y)
     oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
     T = oz.shape[0]
@@ -583,6 +629,44 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
     word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
             | sampled.astype(jnp.int32))
     return word.astype(jnp.int32)
+
+
+NARROW_SPAN_X = 64  # max pair-union x extent the dual-copy narrow windows fit
+
+
+def pack_pairs_narrow(volume):
+    """Pair volume in the chunked dual-copy layout (2X/128, Z, Y, 128):
+    chunks [0, X/128) are the pair volume cut into 128-lane panels; chunks
+    [X/128, 2X/128) are the same panels shifted by 64 in x (edge-padded).
+    Any x interval of length <= NARROW_SPAN_X lies inside one chunk of one of
+    the two copies, so the march can DMA a (win_z, WIN_Y, 128) window instead
+    of (win_z, WIN_Y, X) — half the bytes at X=256 — and the lane gather runs
+    on a single 128-lane panel (no chunk select)."""
+    p = pack_pairs(volume)
+    Z, Y, X = p.shape
+    shifted = jnp.pad(p[:, :, 64:], ((0, 0), (0, 0), (0, 64)), mode="edge")
+    wide = jnp.concatenate([p, shifted], axis=2)
+    n = (2 * X) // 128
+    return wide.reshape(Z, Y, n, 128).transpose(2, 0, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
+def build_xword_table(mins, maxs, dims, max_samples):
+    """Per-(tile, pair) narrow-window x words: ``chunk_index << 16 | xeff``
+    with ``xeff`` the volume x of window column 0.  Chunk selection: if the
+    pair's x interval [a, b] stays within one 128-aligned panel use copy 0's
+    panel a>>7, else the 64-shifted copy's panel (a-64)>>7 — which covers any
+    interval of length <= 65 that straddles a panel boundary."""
+    X = dims[0]
+    pmn, pmx, _ = pair_unions(mins, maxs, max_samples)
+    a = jnp.clip(pmn[..., 2], 0, X - 1)
+    b = jnp.clip(pmx[..., 2], 0, X - 1)
+    same = (a >> 7) == (b >> 7)
+    k = a >> 7
+    jc = jnp.maximum(a - 64, 0) >> 7
+    xeff = jnp.where(same, k * 128, jc * 128 + 64)
+    ci = jnp.where(same, k, X // 128 + jc)
+    return ((ci << 16) | xeff).astype(jnp.int32)
 
 
 def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
@@ -628,18 +712,21 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
         or H % TILE_H != 0 or W % TILE_W != 0
     )
     origins = None
+    xwords = None
     pairs = False
     if not unsupported:
         spans, mins, maxs = _footprint_scan(entry_uv, direction, hit, dims,
                                             max_samples)
         if max_samples % 2 == 0:
-            _, pspans = pair_unions(mins, maxs, max_samples)
+            _, _, pspans = pair_unions(mins, maxs, max_samples)
             pwz = choose_win_z(int(pspans[1]))
             if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
                 pairs = True
                 win_z = pwz
                 origins = build_word_table_pairs(mins, maxs, dims, win_z,
                                                  max_samples)
+                if int(pspans[2]) <= NARROW_SPAN_X:
+                    xwords = build_xword_table(mins, maxs, dims, max_samples)
         if not pairs:
             span_y, span_z = int(spans[0]), int(spans[1])
             wz = choose_win_z(span_z)
@@ -655,7 +742,7 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
 
     rays = _pack_rays(entry_uv, direction, hit, dims)
     color, alpha = _launch(rays, origins, volume, dims, max_samples,
-                           win_z=win_z, pairs=pairs)
+                           win_z=win_z, pairs=pairs, xwords=xwords)
     color = _untile(color, H, W)
     alpha = _untile(alpha, H, W)
     return apply_reference_transfer(color, alpha), alpha
@@ -678,6 +765,7 @@ class CompositingPlan:
         self.shape = (H, W)
         self.win_z = None
         self.pairs = False
+        self.xwords = None
         shapes_ok = not (
             X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
             or H % TILE_H != 0 or W % TILE_W != 0
@@ -688,13 +776,16 @@ class CompositingPlan:
             self.mins = mins
             self.maxs = maxs
             if max_samples % 2 == 0:
-                _, pspans = pair_unions(mins, maxs, max_samples)
+                _, _, pspans = pair_unions(mins, maxs, max_samples)
                 pwz = choose_win_z(int(pspans[1]))
                 if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
                     self.pairs = True
                     self.win_z = pwz
                     self.words_dense = build_word_table_pairs(
                         mins, maxs, self.dims, pwz, max_samples)
+                    if int(pspans[2]) <= NARROW_SPAN_X:
+                        self.xwords = build_xword_table(mins, maxs, self.dims,
+                                                        max_samples)
             if not self.pairs:
                 span_y, span_z = int(spans[0]), int(spans[1])
                 wz = choose_win_z(span_z)
@@ -732,7 +823,7 @@ class CompositingPlan:
             words = self.words_dense
         color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z,
-                               pairs=self.pairs)
+                               pairs=self.pairs, xwords=self.xwords)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
