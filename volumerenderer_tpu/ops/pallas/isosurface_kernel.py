@@ -222,6 +222,7 @@ class IsosurfacePlan:
             if wz is not None and span_y <= WIN_Y and Z >= wz:
                 self.win_z = wz
                 self.mins = mins
+                self.span_x = int(spans[2])
                 self.words_dense = build_word_table(
                     mins, self.dims, wz, n_steps=self.max_samples + 1)
         self.use_kernel = self.win_z is not None
@@ -236,7 +237,8 @@ class IsosurfacePlan:
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume,
                                 threshold=jnp.float32(iso_value * 255.0 - 1e-3),
-                                n_steps=self.max_samples + 1)
+                                n_steps=self.max_samples + 1,
+                                span_x=self.span_x)
 
     def render(self, volume, iso_value=40.0 / 255.0, words=None):
         from ..isosurface import render_isosurface

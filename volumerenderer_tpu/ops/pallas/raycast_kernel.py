@@ -380,6 +380,8 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert not narrow or pairs
+    if narrow:
+        assert xwords.shape == (n_tiles, max_samples // 2), xwords.shape
     word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
     if narrow:
@@ -498,15 +500,24 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     return spans, mins, maxs
 
 
-MIP_SPAN_X = 17  # max per-(tile, step) x extent the occupancy bound covers
+MIP_SPAN_X = 17  # max per-(tile, step) x extent the default occupancy covers
 
 
-def occupancy_mip(volume):
+def _reach_x(span_x: int) -> int:
+    """fwd_max reach so [mn_x, mn_x + span_x) fits [8k, 8k + 8*reach) for any
+    mn_x with k = mn_x >> 3 (worst case mn_x = 8k + 7)."""
+    return max(3, -(-(int(span_x) + 7) // 8))
+
+
+def occupancy_mip(volume, reach_x: int = 3):
     """(Z, Y, X) f32 in [0, 1] -> (ceil(Z/8), ceil(Y/8), ceil(X/8)) f32
     conservative footprint bound in 0..255 units: cell (i, j, k) is the max
-    8-bit sample over z in [8i, 8i+16), y in [8j, 8j+16), x in [8k, 8k+24).
-    One gather at (oz >> 3, oy >> 3, mn_x >> 3) bounds every tap of a
-    (win_z <= 8, WIN_Y = 16, x-span <= MIP_SPAN_X) tile-step footprint.
+    8-bit sample over z in [8i, 8i+16), y in [8j, 8j+16),
+    x in [8k, 8k + 8*reach_x).  One gather at (oz >> 3, oy >> 3, mn_x >> 3)
+    bounds every tap of a (win_z <= 8, WIN_Y = 16,
+    x-span <= 8*reach_x - 7) tile-step footprint; callers widen ``reach_x``
+    via ``_reach_x(span_x)`` when the camera's x footprints exceed the
+    default MIP_SPAN_X = 17.
 
     The empty-space-skipping role of the kd-tree's per-node midrange/extent
     metadata (the capability the reference's stubbed compressed-domain
@@ -531,13 +542,14 @@ def occupancy_mip(volume):
 
     m8 = fwd_max(m8, 0, 2)   # z: window ends before 8i+16
     m8 = fwd_max(m8, 1, 2)   # y: 8-aligned origin, 16 rows
-    m8 = fwd_max(m8, 2, 3)   # x: unaligned span up to 17 fits 8k..8k+24
+    m8 = fwd_max(m8, 2, reach_x)  # x: unaligned span fits 8k..8k+8*reach
     return m8
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "win_z", "n_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "win_z", "n_steps", "span_x"))
 def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
-                     n_steps=None):
+                     n_steps=None, span_x=MIP_SPAN_X):
     """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
     minor dim to 128 lanes so scalars must share a word):
 
@@ -559,7 +571,7 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
     if volume is None:
         sampled = jnp.ones((T, S1), bool)
     else:
-        m = occupancy_mip(volume)
+        m = occupancy_mip(volume, reach_x=_reach_x(span_x))
         ox = jnp.clip(mins[..., 2], 0, dims[0] - 1)
         wmax = m[oz >> 3, oy >> 3, ox >> 3]
         sampled = wmax > threshold
@@ -595,9 +607,9 @@ def pair_unions(mins, maxs, max_samples):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "win_z", "max_samples"))
+                   static_argnames=("dims", "win_z", "max_samples", "span_x"))
 def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
-                           threshold=0.0):
+                           threshold=0.0, span_x=MIP_SPAN_X):
     """Pair-granularity control words for ``_march_one_tile_pairs`` (same
     packing as ``build_word_table``; nd counts *pairs*).  Window origins come
     from the pair-union footprint; the occupancy skip tests each step's own
@@ -613,7 +625,7 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
     if volume is None:
         sampled = jnp.ones((T, P), bool)
     else:
-        m = occupancy_mip(volume)
+        m = occupancy_mip(volume, reach_x=_reach_x(span_x))
         soz = jnp.clip(mins[..., 1], 0, Z - win_z)
         soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
         sox = jnp.clip(mins[..., 2], 0, X - 1)
@@ -717,10 +729,18 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
     if not unsupported:
         spans, mins, maxs = _footprint_scan(entry_uv, direction, hit, dims,
                                             max_samples)
+        span_y, span_z = int(spans[0]), int(spans[1])
+        wz = choose_win_z(span_z) if span_y <= WIN_Y and Z >= max(
+            4, span_z) else None
         if max_samples % 2 == 0:
             _, _, pspans = pair_unions(mins, maxs, max_samples)
             pwz = choose_win_z(int(pspans[1]))
-            if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
+            # pairs halve loop iterations/DMA issues but sample pwz-row
+            # windows; with the measured cost split (sampling ~33%, DMA ~40%,
+            # loop ~27%, docs/PERF_NOTES.md) pairs win iff pwz <= ~1.6*wz
+            pairs_ok = (pwz is not None and int(pspans[0]) <= WIN_Y
+                        and Z >= pwz)
+            if pairs_ok and (wz is None or pwz <= 1.5 * wz):
                 pairs = True
                 win_z = pwz
                 origins = build_word_table_pairs(mins, maxs, dims, win_z,
@@ -728,9 +748,7 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
                 if int(pspans[2]) <= NARROW_SPAN_X:
                     xwords = build_xword_table(mins, maxs, dims, max_samples)
         if not pairs:
-            span_y, span_z = int(spans[0]), int(spans[1])
-            wz = choose_win_z(span_z)
-            if wz is None or span_y > WIN_Y or Z < wz:
+            if wz is None:
                 unsupported = True
             else:
                 win_z = wz
@@ -775,10 +793,19 @@ class CompositingPlan:
                                                 self.dims, max_samples)
             self.mins = mins
             self.maxs = maxs
+            self.span_x = int(spans[2])  # per-step; occupancy gates on it
+            span_y, span_z = int(spans[0]), int(spans[1])
+            wz = None
+            if span_y <= WIN_Y and Z >= max(4, span_z):
+                wz = choose_win_z(span_z)
             if max_samples % 2 == 0:
                 _, _, pspans = pair_unions(mins, maxs, max_samples)
                 pwz = choose_win_z(int(pspans[1]))
-                if pwz is not None and int(pspans[0]) <= WIN_Y and Z >= pwz:
+                pairs_ok = (pwz is not None and int(pspans[0]) <= WIN_Y
+                            and Z >= pwz)
+                # see render_compositing_pallas: pairs only when the taller
+                # union window doesn't cost more sampling than it saves
+                if pairs_ok and (wz is None or pwz <= 1.5 * wz):
                     self.pairs = True
                     self.win_z = pwz
                     self.words_dense = build_word_table_pairs(
@@ -786,13 +813,10 @@ class CompositingPlan:
                     if int(pspans[2]) <= NARROW_SPAN_X:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples)
-            if not self.pairs:
-                span_y, span_z = int(spans[0]), int(spans[1])
-                wz = choose_win_z(span_z)
-                if wz is not None and span_y <= WIN_Y and Z >= wz:
-                    self.win_z = wz
-                    self.words_dense = build_word_table(mins, self.dims, wz,
-                                                        n_steps=max_samples)
+            if not self.pairs and wz is not None:
+                self.win_z = wz
+                self.words_dense = build_word_table(mins, self.dims, wz,
+                                                    n_steps=max_samples)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
@@ -805,10 +829,12 @@ class CompositingPlan:
         if self.pairs:
             return build_word_table_pairs(self.mins, self.maxs, self.dims,
                                           self.win_z, self.max_samples,
-                                          volume=volume, threshold=0.0)
+                                          volume=volume, threshold=0.0,
+                                          span_x=self.span_x)
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume, threshold=0.0,
-                                n_steps=self.max_samples)
+                                n_steps=self.max_samples,
+                                span_x=self.span_x)
 
     def render(self, volume, words=None):
         """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha).
