@@ -22,7 +22,8 @@ import numpy as np
 from ..utils.bitarray import pack2_np, unpack2
 from .kdtree import KdTree, NO_NODE, _leaf_axes_perm
 
-__all__ = ["DeviceKdTree", "to_device", "level_cut_device"]
+__all__ = ["DeviceKdTree", "to_device", "level_cut_device",
+           "tree_occupancy_mip8"]
 
 
 class DeviceKdTree(NamedTuple):
@@ -70,8 +71,10 @@ def _pack_rows(rows: np.ndarray) -> np.ndarray:
             | (quads[..., 3] << 6)).astype(np.uint8)
 
 
-@partial(jax.jit, static_argnames=("spec_key", "cut_depth"))
-def _level_cut_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
+def _decode_leaf_scalars(dtree: DeviceKdTree, spec_key, cut_depth: int):
+    """Level-synchronous decode to flat per-leaf scalars (int32, breadth-
+    first leaf order, length 2^orig_depth) — shared by the volume decode and
+    the tree-metadata occupancy grid."""
     dims, orig_depth, max_depth, schedule, chain_len = spec_key
     dm = dtree.distance_map
 
@@ -99,6 +102,13 @@ def _level_cut_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
         for i in range(min(chain_len, cut_depth - orig_depth)):
             d = orig_depth + 1 + i
             scalars, frozen = step(scalars, frozen, chain_codes[:, i], d)
+    return scalars
+
+
+@partial(jax.jit, static_argnames=("spec_key", "cut_depth"))
+def _level_cut_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
+    dims, orig_depth, max_depth, schedule, chain_len = spec_key
+    scalars = _decode_leaf_scalars(dtree, spec_key, cut_depth)
 
     # leaves -> volume: inverse of the breadth-first leaf permutation
     X, Y, Z = dims
@@ -106,6 +116,53 @@ def _level_cut_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
     inv = np.argsort(perm)
     vol = scalars.astype(jnp.uint8).reshape((2,) * (nz + ny + nx)).transpose(inv)
     return vol.reshape(Z, Y, X)
+
+
+@partial(jax.jit, static_argnames=("spec_key", "cut_depth"))
+def _tree_mip8_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
+    dims, orig_depth, max_depth, schedule, chain_len = spec_key
+    X, Y, Z = dims
+    sched = list(schedule)
+    scalars = _decode_leaf_scalars(dtree, spec_key, cut_depth)
+
+    # max over each axis's LAST min(3, log2(dim)) splits = the per-8³-block
+    # max (the decoded cut is piecewise constant on cut-depth node boxes, so
+    # this is an EXACT block max of the decoded volume — build-time min/max
+    # bounds the *original* data and would be unsound for the lossy decode).
+    # Those splits are non-contiguous bit positions of the leaf index (an
+    # axis may exhaust early in the schedule), so reduce on the (2,)*D view.
+    need = {0: min(3, int(np.log2(X))), 1: min(3, int(np.log2(Y))),
+            2: min(3, int(np.log2(Z)))}
+    chosen: list[int] = []
+    for a in (0, 1, 2):
+        occ = [i for i, sd in enumerate(sched) if sd == a]
+        chosen.extend(occ[len(occ) - need[a]:])
+    D = len(sched)
+    m = scalars.reshape((2,) * D).max(axis=tuple(sorted(chosen)))
+    m = m.reshape(-1)  # breadth-first over the reduced schedule
+
+    reduced = [sd for i, sd in enumerate(sched) if i not in set(chosen)]
+    gX, gY, gZ = X >> need[0], Y >> need[1], Z >> need[2]  # 8-block grid
+    perm, (nz, ny, nx) = _leaf_axes_perm(gX, gY, gZ, reduced)
+    inv = np.argsort(perm)
+    g = m.reshape((2,) * (nz + ny + nx)).transpose(inv).reshape(gZ, gY, gX)
+    return g.astype(jnp.float32)
+
+
+def tree_occupancy_mip8(dtree: DeviceKdTree, spec: dict,
+                        cut_depth: int | None = None) -> jnp.ndarray:
+    """Per-8³-block maxima of the decoded level cut, computed from the
+    compressed tree's own scalars — no dense (Z, Y, X) pass.  Feeds
+    ``CompositingPlan.bind(mip8=...)`` / ``IsosurfacePlan.bind(mip8=...)``
+    for exact empty-space skipping driven by codec metadata (the role the
+    reference's stubbed compressed shader reached for,
+    ``isosurface_compressed.frag:18-44``; SURVEY.md §7 "free empty-space
+    skipping")."""
+    if cut_depth is None:
+        cut_depth = spec["max_depth"]
+    spec_key = (tuple(spec["dims"]), spec["orig_depth"], spec["max_depth"],
+                tuple(spec["schedule"]), spec["chain_len"])
+    return _tree_mip8_impl(dtree, spec_key, int(cut_depth))
 
 
 def level_cut_device(dtree: DeviceKdTree, spec: dict,

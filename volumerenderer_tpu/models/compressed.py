@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..codecs.device import level_cut_device, to_device
+from ..codecs.device import level_cut_device, to_device, tree_occupancy_mip8
 from ..ops.raycast import render_compositing
 from ..ops.isosurface import render_isosurface
 from ..ops.sampling import as_normalized_volume
@@ -89,25 +89,34 @@ class CompressedRenderer:
                   iso_value: float = 40.0 / 255.0, max_samples: int = 300):
         """Plan-once / render-many over this tree's level cut: precomputes the
         tile packing, the DMA window table, and (``skip_empty``) the occupancy
-        words derived from the decoded cut — the tree's empty regions are
-        skipped exactly.  Returns a zero-argument callable producing the same
-        (rgb, alpha-or-hit) as :meth:`render`; falls back to the jnp path off
-        TPU or for unsupported cameras."""
+        words derived from the TREE's own scalars (``tree_occupancy_mip8`` —
+        the decoded cut is piecewise constant on cut-depth node boxes, so its
+        block maxima come straight from codec metadata, zero dense-volume
+        pass) — the tree's empty regions are skipped exactly.  Returns a
+        zero-argument callable producing the same (rgb, alpha-or-hit) as
+        :meth:`render`; falls back to the jnp path off TPU or for unsupported
+        cameras."""
         vol = self.volume_at(cut_depth)
         Z, Y, X = vol.shape
+
+        def mip():
+            cut = self.spec["max_depth"] if cut_depth is None else cut_depth
+            return tree_occupancy_mip8(self.dtree, self.spec, cut)
+
         if mode == "compositing":
             from ..ops.pallas.raycast_kernel import CompositingPlan
 
             plan = CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                    (X, Y, Z), max_samples)
-            words = plan.bind(vol) if (skip_empty and plan.use_kernel) else None
+            words = plan.bind(mip8=mip()) \
+                if (skip_empty and plan.use_kernel) else None
             return lambda: plan.render(vol, words=words)
         elif mode == "isosurface":
             from ..ops.pallas.isosurface_kernel import IsosurfacePlan
 
             plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples)
-            words = plan.bind(vol, iso_value) \
+            words = plan.bind(iso_value=iso_value, mip8=mip()) \
                 if (skip_empty and plan.use_kernel) else None
             return lambda: plan.render(vol, iso_value, words=words)
         raise ValueError(f"unknown mode {mode}")

@@ -229,8 +229,10 @@ class IsosurfacePlan:
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
 
-    def bind(self, volume, iso_value):
-        """Occupancy word table for this volume + isovalue (exact skipping)."""
+    def bind(self, volume=None, iso_value=40.0 / 255.0, mip8=None):
+        """Occupancy word table for this volume + isovalue (exact skipping).
+        Pass ``mip8`` to skip from compressed-tree metadata with no
+        dense-volume pass (``codecs.device.tree_occupancy_mip8``)."""
         assert self.use_kernel
         # skip iff the (integer-valued) window bound is strictly below iso:
         # wmax > iso255 - 1e-3  <=>  wmax >= iso255 for 8-bit window maxima
@@ -238,7 +240,7 @@ class IsosurfacePlan:
                                 volume=volume,
                                 threshold=jnp.float32(iso_value * 255.0 - 1e-3),
                                 n_steps=self.max_samples + 1,
-                                span_x=self.span_x)
+                                span_x=self.span_x, mip8=mip8)
 
     def render(self, volume, iso_value=40.0 / 255.0, words=None):
         from ..isosurface import render_isosurface

@@ -509,25 +509,24 @@ def _reach_x(span_x: int) -> int:
     return max(3, -(-(int(span_x) + 7) // 8))
 
 
-def occupancy_mip(volume, reach_x: int = 3):
+def block_max8(volume):
     """(Z, Y, X) f32 in [0, 1] -> (ceil(Z/8), ceil(Y/8), ceil(X/8)) f32
-    conservative footprint bound in 0..255 units: cell (i, j, k) is the max
-    8-bit sample over z in [8i, 8i+16), y in [8j, 8j+16),
-    x in [8k, 8k + 8*reach_x).  One gather at (oz >> 3, oy >> 3, mn_x >> 3)
-    bounds every tap of a (win_z <= 8, WIN_Y = 16,
-    x-span <= 8*reach_x - 7) tile-step footprint; callers widen ``reach_x``
-    via ``_reach_x(span_x)`` when the camera's x footprints exceed the
-    default MIP_SPAN_X = 17.
-
-    The empty-space-skipping role of the kd-tree's per-node midrange/extent
-    metadata (the capability the reference's stubbed compressed-domain
-    shader was reaching for, ``isosurface_compressed.frag:18-44``)."""
+    per-8³-block maximum in 0..255 units (the base grid ``expand_mip``
+    turns into a window bound).  ``codecs.device.tree_occupancy_mip8``
+    produces the same grid from the compressed tree's own scalars with no
+    dense-volume pass."""
     s = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0)
     Z, Y, X = s.shape
     pz, py, px = (-Z) % 8, (-Y) % 8, (-X) % 8
     s = jnp.pad(s, ((0, pz), (0, py), (0, px)))
-    m8 = s.reshape((Z + pz) // 8, 8, (Y + py) // 8, 8,
-                   (X + px) // 8, 8).max(axis=(1, 3, 5))
+    return s.reshape((Z + pz) // 8, 8, (Y + py) // 8, 8,
+                     (X + px) // 8, 8).max(axis=(1, 3, 5))
+
+
+def expand_mip(m8, reach_x: int = 3):
+    """Forward-max expansion of the 8³ block grid so one gather bounds a
+    whole window footprint: cell (i, j, k) covers z in [8i, 8i+16),
+    y in [8j, 8j+16), x in [8k, 8k + 8*reach_x)."""
 
     def fwd_max(m, axis, reach):
         out = m
@@ -546,10 +545,25 @@ def occupancy_mip(volume, reach_x: int = 3):
     return m8
 
 
+def occupancy_mip(volume, reach_x: int = 3):
+    """Conservative per-cell window bound from a dense volume: cell
+    (i, j, k) is the max 8-bit sample over z in [8i, 8i+16),
+    y in [8j, 8j+16), x in [8k, 8k + 8*reach_x).  One gather at
+    (oz >> 3, oy >> 3, mn_x >> 3) bounds every tap of a (win_z <= 8,
+    WIN_Y = 16, x-span <= 8*reach_x - 7) tile-step footprint; callers widen
+    ``reach_x`` via ``_reach_x(span_x)`` when the camera's x footprints
+    exceed the default MIP_SPAN_X = 17.
+
+    The empty-space-skipping role of the kd-tree's per-node midrange/extent
+    metadata (the capability the reference's stubbed compressed-domain
+    shader was reaching for, ``isosurface_compressed.frag:18-44``)."""
+    return expand_mip(block_max8(volume), reach_x)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dims", "win_z", "n_steps", "span_x"))
 def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
-                     n_steps=None, span_x=MIP_SPAN_X):
+                     n_steps=None, span_x=MIP_SPAN_X, mip8=None):
     """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
     minor dim to 128 lanes so scalars must share a word):
 
@@ -568,10 +582,11 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
     oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
     oz = jnp.clip(mins[..., 1], 0, Z - win_z)
     T, S1 = oz.shape
-    if volume is None:
+    if volume is None and mip8 is None:
         sampled = jnp.ones((T, S1), bool)
     else:
-        m = occupancy_mip(volume, reach_x=_reach_x(span_x))
+        m8 = block_max8(volume) if mip8 is None else mip8
+        m = expand_mip(m8, reach_x=_reach_x(span_x))
         ox = jnp.clip(mins[..., 2], 0, dims[0] - 1)
         wmax = m[oz >> 3, oy >> 3, ox >> 3]
         sampled = wmax > threshold
@@ -609,7 +624,7 @@ def pair_unions(mins, maxs, max_samples):
 @functools.partial(jax.jit,
                    static_argnames=("dims", "win_z", "max_samples", "span_x"))
 def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
-                           threshold=0.0, span_x=MIP_SPAN_X):
+                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None):
     """Pair-granularity control words for ``_march_one_tile_pairs`` (same
     packing as ``build_word_table``; nd counts *pairs*).  Window origins come
     from the pair-union footprint; the occupancy skip tests each step's own
@@ -622,10 +637,11 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
     oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - WIN_Y)
     oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
     T = oz.shape[0]
-    if volume is None:
+    if volume is None and mip8 is None:
         sampled = jnp.ones((T, P), bool)
     else:
-        m = occupancy_mip(volume, reach_x=_reach_x(span_x))
+        m8 = block_max8(volume) if mip8 is None else mip8
+        m = expand_mip(m8, reach_x=_reach_x(span_x))
         soz = jnp.clip(mins[..., 1], 0, Z - win_z)
         soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
         sox = jnp.clip(mins[..., 2], 0, X - 1)
@@ -821,20 +837,23 @@ class CompositingPlan:
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
 
-    def bind(self, volume):
+    def bind(self, volume=None, mip8=None):
         """Occupancy word table for this volume: steps whose windows are
         exactly zero are skipped (the composite of a zero sample is a no-op,
-        so outputs are unchanged)."""
+        so outputs are unchanged).  Pass ``mip8`` (a
+        (ceil(Z/8), ceil(Y/8), ceil(X/8)) per-block max grid, e.g. from
+        ``codecs.device.tree_occupancy_mip8``) to skip from compressed-tree
+        metadata with no dense-volume pass."""
         assert self.use_kernel
         if self.pairs:
             return build_word_table_pairs(self.mins, self.maxs, self.dims,
                                           self.win_z, self.max_samples,
                                           volume=volume, threshold=0.0,
-                                          span_x=self.span_x)
+                                          span_x=self.span_x, mip8=mip8)
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume, threshold=0.0,
                                 n_steps=self.max_samples,
-                                span_x=self.span_x)
+                                span_x=self.span_x, mip8=mip8)
 
     def render(self, volume, words=None):
         """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha).
