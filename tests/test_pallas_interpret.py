@@ -62,6 +62,26 @@ def test_interpret_compositing_dense_parity():
         _assert_parity(plan, vol, rays, 23)
 
 
+@pytest.mark.parametrize("k", [4, 8])
+def test_interpret_group_k_parity(k, monkeypatch):
+    """k-step window groups (k samples per DMA window) are bit-consistent
+    with the jnp march — positions advance one step at a time inside the
+    group, so samples/composites match the dense recurrence."""
+    rng = np.random.default_rng(11)
+    shape = (16, 16, 128)  # taller z so k=8 union windows fit
+    vol = as_normalized_volume(
+        np.round(rng.random(shape) * 255.0).astype(np.uint8))
+    rays = _rays()
+    Z, Y, X = vol.shape
+    monkeypatch.setattr(RK, "GROUP_KS", (k,))
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=16)
+        assert plan.use_kernel
+        assert plan.group == k, f"cost model rejected k={k}: {plan.group}"
+        _assert_parity(plan, vol, rays, 16)
+
+
 def test_interpret_occupancy_skipping_exact():
     """Empty-space skipping (bound word table) leaves outputs unchanged on a
     mostly-empty volume, and marks a nontrivial number of steps skipped."""

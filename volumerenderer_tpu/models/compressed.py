@@ -84,6 +84,16 @@ class CompressedRenderer:
                                      rays.hit, **kwargs)
         raise ValueError(f"unknown mode {mode}")
 
+    def diff_decoder(self, cut_depth: int | None = None):
+        """Differentiable view of this tree (``codecs.diff.DiffDecoder``):
+        ``dec(dm, leaf_adjust)`` -> (Z, Y, X) f32 volume in [0, 1] with a
+        custom VJP routing image-loss gradients to the per-depth Δ map and
+        the per-leaf scalars (BASELINE north star; SURVEY.md §7
+        "Differentiability")."""
+        from ..codecs.diff import DiffDecoder
+
+        return DiffDecoder(self.dtree, self.spec, cut_depth=cut_depth)
+
     def make_plan(self, rays, cut_depth: int | None = None,
                   mode: str = "compositing", skip_empty: bool = True,
                   iso_value: float = 40.0 / 255.0, max_samples: int = 300):

@@ -52,10 +52,11 @@ BIG = 1 << 20
 T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
-def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0):
+def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
+                fmt="f32pair"):
     """Trilinear sample of one pair-volume window for a 128-ray tile.
 
-    ``slab_block`` is the (win_z, WIN_Y, X) f32 window whose origin is
+    ``slab_block`` is the (win_z, WIN_Y, ·) window whose origin is
     (oz, oy) in texel space; (px, py, pz) are (1, 128) positions in [0, 1]
     texture space.  Returns (1, 128) f32 samples in 0..255 units.
 
@@ -65,14 +66,21 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0):
     edge row gets weight 1 — GL clamp-to-edge exactly, with fewer VPU ops
     than the compare-select form.  All center math stays in f32 (int->float
     casts on (1, 128) slices hang the Mosaic compiler).  The x taps both
-    ride in ONE packed f32 word of the pair volume (``pack_pairs``); the
-    clamped-floor index + clamped fractional reproduce GL clamp-to-edge at
-    both faces (pair[X-1] self-pairs by construction).
+    ride in ONE packed word:
+
+    * ``fmt="f32pair"``: f32 rows of the pair volume (``pack_pairs``),
+      one lane per x — gather lane ``xi``;
+    * ``fmt="i32half"``: i32 rows packing TWO pair16 values per word
+      (``pack_pairs16``), half the lanes/bytes — gather lane ``xi >> 1``,
+      select the half by ``xi & 1``, unpack to the same exact f32 pair.
+
+    The clamped-floor index + clamped fractional reproduce GL clamp-to-edge
+    at both faces (pair[X-1] self-pairs by construction).
     """
     X, Y, Z = dims
     R = win_z * WIN_Y
-    width = slab_block.shape[-1]  # X (full-width) or 128 (narrow-x window,
-    n_chunks = width // 128       # volume x of column 0 = ``xeff``)
+    width = slab_block.shape[-1]  # X, X//2 (i32half) or 128 (narrow-x
+    n_chunks = width // 128       # window, volume x of column 0 = ``xeff``)
     fX, fY, fZ = jnp.float32(X), jnp.float32(Y), jnp.float32(Z)
 
     tz_f = pz * fZ - 0.5
@@ -118,20 +126,26 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0):
 
 
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples, win_z, pairs=False):
-    one_tile = _march_one_tile_pairs if pairs else _march_one_tile
+                  dims, max_samples, win_z, group=1):
     for tile in range(T_PER):
-        one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                 tile, dims=dims, max_samples=max_samples, win_z=win_z)
+        if group == 1:
+            _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state,
+                            sem, tile, dims=dims, max_samples=max_samples,
+                            win_z=win_z)
+        else:
+            _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
+                                  state, sem, tile, dims=dims,
+                                  max_samples=max_samples, win_z=win_z,
+                                  k=group)
 
 
 def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
-                         state, sem, *, dims, max_samples, win_z):
+                         state, sem, *, dims, max_samples, win_z, group=2):
     for tile in range(T_PER):
-        _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab,
+        _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
                               state, sem, tile, dims=dims,
                               max_samples=max_samples, win_z=win_z,
-                              xorg_ref=xorg_ref)
+                              xorg_ref=xorg_ref, k=group)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -237,16 +251,16 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
     out_ref[tile, 0:2, :] = state[3:5, :]
 
 
-def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
+def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                           sem, tile, *, dims, max_samples, win_z,
-                          xorg_ref=None):
-    """Two march steps per DMA window: word ``p`` covers step indices ``2p``
-    and ``2p+1`` and its window is the union of both footprints, so the loop
-    runs half the iterations and issues half the DMAs of the per-step kernel
-    (window bytes stay ~constant — the union is 1-2 voxels taller).  Position
+                          xorg_ref=None, k=2):
+    """``k`` march steps per DMA window: word ``p`` covers step indices
+    ``k*p .. k*p + k - 1`` and its window is the union of all k footprints,
+    so the loop runs 1/k the iterations and issues 1/k the DMAs of the
+    per-step kernel (window bytes grow by the extra union height).  Position
     advance is still exactly ``pos += d`` once per step (gap runs replay the
     skipped steps one at a time), so samples and composites are bit-identical
-    to the dense march.  Requires ``max_samples`` even.
+    to the dense march.  Requires ``max_samples % k == 0``.
 
     With ``xorg_ref`` (narrow-x mode) the volume is the chunked dual-copy
     layout of ``pack_pairs_narrow`` and each window DMA moves one 128-lane
@@ -254,7 +268,7 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     lane gather."""
     X, Y, Z = dims
     WIN_Z = win_z
-    END = max_samples // 2  # one-past-last pair index
+    END = max_samples // k  # one-past-last group index
     narrow = xorg_ref is not None
 
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
@@ -312,20 +326,20 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         _, oz_c, oy_c, _ = _unpack_word(pend)
         xeff = pendx & 0xFFFF
 
-        # gap-run to step index 2*t_cur (bit-exact with the dense march)
-        def adv_body(k):
+        # gap-run to step index k*t_cur (bit-exact with the dense march)
+        def adv_body(i):
             state[0:1, :] = state[0:1, :] + d[0]
             state[1:2, :] = state[1:2, :] + d[1]
             state[2:3, :] = state[2:3, :] + d[2]
-            return k + 1
+            return i + 1
 
-        jax.lax.while_loop(lambda k: k < 2 * t_cur - pi, adv_body,
+        jax.lax.while_loop(lambda i: i < k * t_cur - pi, adv_body,
                            jnp.int32(0))
 
         dma(slot, oz_c, oy_c, pendx).wait()
         substep(slot, oz_c, oy_c, xeff)
 
-        # issue the DMA for the next sampled pair (or a dummy re-fetch)
+        # issue the DMA for the next sampled group (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
@@ -333,12 +347,14 @@ def _march_one_tile_pairs(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         _, oz_n, oy_n, _ = _unpack_word(w_next)
         dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n, x_next).start()
 
-        # second step of the pair from the same window
-        state[0:1, :] = state[0:1, :] + d[0]
-        state[1:2, :] = state[1:2, :] + d[1]
-        state[2:3, :] = state[2:3, :] + d[2]
-        any_alive = substep(slot, oz_c, oy_c, xeff)
-        return 2 * t_cur + 1, t_next, cnt + 1, any_alive, w_next, x_next
+        # remaining k-1 steps of the group from the same window
+        any_alive = jnp.bool_(True)
+        for _ in range(k - 1):
+            state[0:1, :] = state[0:1, :] + d[0]
+            state[1:2, :] = state[1:2, :] + d[1]
+            state[2:3, :] = state[2:3, :] + d[2]
+            any_alive = substep(slot, oz_c, oy_c, xeff)
+        return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next, x_next
 
     def cond(carry):
         _, t_cur, _, any_alive, _, _ = carry
@@ -371,23 +387,24 @@ def pack_pairs(volume):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "max_samples", "win_z", "pairs"))
+                   static_argnames=("dims", "max_samples", "win_z", "group"))
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
-            pairs=False, xwords=None):
+            group=1, xwords=None):
     n_tiles = rays_packed.shape[0]
-    n_words = (max_samples // 2) if pairs else (max_samples + 1)
+    n_words = (max_samples // group) if group > 1 else (max_samples + 1)
     narrow = xwords is not None
     assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
-    assert not narrow or pairs
+    assert not narrow or group > 1
     if narrow:
-        assert xwords.shape == (n_tiles, max_samples // 2), xwords.shape
+        assert xwords.shape == (n_tiles, max_samples // group), xwords.shape
     word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
     if narrow:
         vol_pairs = pack_pairs_narrow(volume)
         kernel = functools.partial(_march_kernel_narrow, dims=dims,
-                                   max_samples=max_samples, win_z=win_z)
+                                   max_samples=max_samples, win_z=win_z,
+                                   group=group)
         in_specs = [
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -400,7 +417,7 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         vol_pairs = pack_pairs(volume)
         kernel = functools.partial(_march_kernel, dims=dims,
                                    max_samples=max_samples,
-                                   win_z=win_z, pairs=pairs)
+                                   win_z=win_z, group=group)
         in_specs = [
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -509,6 +526,12 @@ def _reach_x(span_x: int) -> int:
     return max(3, -(-(int(span_x) + 7) // 8))
 
 
+def _reach_z(win_z: int) -> int:
+    """fwd_max z reach so a window [oz, oz + win_z) fits [8i, 8i + 8*reach)
+    for any oz with i = oz >> 3 (worst case oz = 8i + 7)."""
+    return max(2, -(-(int(win_z) + 7) // 8))
+
+
 def block_max8(volume):
     """(Z, Y, X) f32 in [0, 1] -> (ceil(Z/8), ceil(Y/8), ceil(X/8)) f32
     per-8³-block maximum in 0..255 units (the base grid ``expand_mip``
@@ -523,9 +546,9 @@ def block_max8(volume):
                      (X + px) // 8, 8).max(axis=(1, 3, 5))
 
 
-def expand_mip(m8, reach_x: int = 3):
+def expand_mip(m8, reach_x: int = 3, reach_z: int = 2):
     """Forward-max expansion of the 8³ block grid so one gather bounds a
-    whole window footprint: cell (i, j, k) covers z in [8i, 8i+16),
+    whole window footprint: cell (i, j, k) covers z in [8i, 8i + 8*reach_z),
     y in [8j, 8j+16), x in [8k, 8k + 8*reach_x)."""
 
     def fwd_max(m, axis, reach):
@@ -539,7 +562,7 @@ def expand_mip(m8, reach_x: int = 3):
             out = jnp.maximum(out, shifted)
         return out
 
-    m8 = fwd_max(m8, 0, 2)   # z: window ends before 8i+16
+    m8 = fwd_max(m8, 0, reach_z)  # z: unaligned window fits 8i..8i+8*reach
     m8 = fwd_max(m8, 1, 2)   # y: 8-aligned origin, 16 rows
     m8 = fwd_max(m8, 2, reach_x)  # x: unaligned span fits 8k..8k+8*reach
     return m8
@@ -603,16 +626,16 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
     return word.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_samples",))
-def pair_unions(mins, maxs, max_samples):
-    """Pair ``p`` = step indices (2p, 2p+1): union footprint mins and the
-    global worst-case pair spans.  Empty steps carry ±BIG sentinels, which the
-    min/max unions absorb.  Returns (pair mins (T, P, 3) [y, z, x],
-    pair maxs (T, P, 3), spans (3,) i32 [span_y_aligned, span_z, span_x])."""
-    P = max_samples // 2
+@functools.partial(jax.jit, static_argnames=("max_samples", "k"))
+def group_unions(mins, maxs, max_samples, k=2):
+    """Group ``p`` = step indices (k*p .. k*p + k - 1): union footprint mins
+    and the global worst-case group spans.  Empty steps carry ±BIG sentinels,
+    which the min/max unions absorb.  Returns (group mins (T, P, 3) [y, z, x],
+    group maxs (T, P, 3), spans (3,) i32 [span_y_aligned, span_z, span_x])."""
+    P = max_samples // k
     T = mins.shape[0]
-    mn = mins[:, :2 * P].reshape(T, P, 2, 3).min(axis=2)
-    mx = maxs[:, :2 * P].reshape(T, P, 2, 3).max(axis=2)
+    mn = mins[:, :k * P].reshape(T, P, k, 3).min(axis=2)
+    mx = maxs[:, :k * P].reshape(T, P, k, 3).max(axis=2)
     any_in = mx[..., 0] >= mn[..., 0]
     span_y = jnp.where(any_in, mx[..., 0] - (mn[..., 0] // 8) * 8 + 1, 0)
     span_z = jnp.where(any_in, mx[..., 1] - mn[..., 1] + 1, 0)
@@ -621,19 +644,25 @@ def pair_unions(mins, maxs, max_samples):
     return mn, mx, jnp.maximum(spans, 0)
 
 
+def pair_unions(mins, maxs, max_samples):
+    return group_unions(mins, maxs, max_samples, k=2)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "win_z", "max_samples", "span_x"))
-def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
-                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None):
-    """Pair-granularity control words for ``_march_one_tile_pairs`` (same
-    packing as ``build_word_table``; nd counts *pairs*).  Window origins come
-    from the pair-union footprint; the occupancy skip tests each step's own
-    per-step bound (keeping the MIP_SPAN_X guarantee per step) and samples the
-    pair if either step may exceed ``threshold`` — a skipped pair's composite
-    is exactly a no-op, so skipping stays exact."""
+                   static_argnames=("dims", "win_z", "max_samples", "span_x",
+                                    "k"))
+def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
+                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None, k=2):
+    """Group-granularity control words for ``_march_one_tile_group`` (same
+    packing as ``build_word_table``; nd counts *groups* of k steps).  Window
+    origins come from the group-union footprint; the occupancy skip tests
+    each step's own per-step bound (keeping the MIP_SPAN_X guarantee per
+    step) and samples the group if any of its steps may exceed ``threshold``
+    — a skipped group's composite is exactly a no-op, so skipping stays
+    exact."""
     X, Y, Z = dims
-    P = max_samples // 2
-    pmn, _, _ = pair_unions(mins, maxs, max_samples)
+    P = max_samples // k
+    pmn, _, _ = group_unions(mins, maxs, max_samples, k=k)
     oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - WIN_Y)
     oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
     T = oz.shape[0]
@@ -641,13 +670,14 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
         sampled = jnp.ones((T, P), bool)
     else:
         m8 = block_max8(volume) if mip8 is None else mip8
-        m = expand_mip(m8, reach_x=_reach_x(span_x))
+        m = expand_mip(m8, reach_x=_reach_x(span_x),
+                       reach_z=_reach_z(win_z))
         soz = jnp.clip(mins[..., 1], 0, Z - win_z)
         soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
         sox = jnp.clip(mins[..., 2], 0, X - 1)
         wmax = m[soz >> 3, soy >> 3, sox >> 3]
         s = wmax > threshold
-        sampled = s[:, :2 * P].reshape(T, P, 2).any(axis=2)
+        sampled = s[:, :k * P].reshape(T, P, k).any(axis=2)
     idx = jnp.arange(P, dtype=jnp.int32)
     nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
@@ -657,6 +687,13 @@ def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
     word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
             | sampled.astype(jnp.int32))
     return word.astype(jnp.int32)
+
+
+def build_word_table_pairs(mins, maxs, dims, win_z, max_samples, volume=None,
+                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None):
+    return build_word_table_group(mins, maxs, dims, win_z, max_samples,
+                                  volume=volume, threshold=threshold,
+                                  span_x=span_x, mip8=mip8, k=2)
 
 
 NARROW_SPAN_X = 64  # max pair-union x extent the dual-copy narrow windows fit
@@ -678,15 +715,15 @@ def pack_pairs_narrow(volume):
     return wide.reshape(Z, Y, n, 128).transpose(2, 0, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-def build_xword_table(mins, maxs, dims, max_samples):
-    """Per-(tile, pair) narrow-window x words: ``chunk_index << 16 | xeff``
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "k"))
+def build_xword_table(mins, maxs, dims, max_samples, k=2):
+    """Per-(tile, group) narrow-window x words: ``chunk_index << 16 | xeff``
     with ``xeff`` the volume x of window column 0.  Chunk selection: if the
-    pair's x interval [a, b] stays within one 128-aligned panel use copy 0's
+    group's x interval [a, b] stays within one 128-aligned panel use copy 0's
     panel a>>7, else the 64-shifted copy's panel (a-64)>>7 — which covers any
     interval of length <= 65 that straddles a panel boundary."""
     X = dims[0]
-    pmn, pmx, _ = pair_unions(mins, maxs, max_samples)
+    pmn, pmx, _ = group_unions(mins, maxs, max_samples, k=k)
     a = jnp.clip(pmn[..., 2], 0, X - 1)
     b = jnp.clip(pmx[..., 2], 0, X - 1)
     same = (a >> 7) == (b >> 7)
@@ -704,13 +741,29 @@ def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     return int(spans[0]), int(spans[1])
 
 
-def choose_win_z(span_z: int) -> int | None:
+def choose_win_z(span_z: int, cap: int = WIN_Z_MAX) -> int | None:
     """Smallest window height covering the footprint (None = unsupported,
     fall back to the jnp renderer).  z is the outer dim of the window DMA, so
     any height is legal — sampling cost scales with it, so exact is best."""
-    if span_z > WIN_Z_MAX:
+    if span_z > cap:
         return None
     return max(4, span_z)
+
+
+GROUP_KS = (8, 4, 2)      # candidate steps-per-window (besides 1)
+WIN_Z_GROUP_MAX = 16      # group windows may be taller than per-step ones
+F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
+C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
+
+
+def _group_cost(k: int, win_z: int) -> float:
+    """Modeled cost per march step: the window-fixed share amortizes over the
+    k substeps, sampling scales with the window height (R = win_z * WIN_Y
+    rows enter the tent-weight build and the lane gather).  Constants from
+    the measured split in docs/PERF_NOTES.md (~0.42 us/window in pairs mode:
+    ~40% DMA issue/wait + ~27% loop/scalar fixed, ~33% sampling at
+    win_z 4-8)."""
+    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
@@ -724,69 +777,30 @@ def render_compositing_pallas(volume, entry_uv, direction, hit,
     """Drop-in fast replacement for ``render_compositing`` (clamp wrap only).
 
     ``volume`` is (Z, Y, X) float32 in [0, 1] (8-bit quantized and pair-packed
-    in-jit for
-    the kernel).  Falls back to the jnp renderer when the volume shape or the
-    camera's tile footprints are unsupported.
+    in-jit for the kernel).  Falls back to the jnp renderer when the volume
+    shape or the camera's tile footprints are unsupported.
     """
     from ..raycast import render_compositing
 
-    Z, Y, X = volume.shape
-    H, W, _ = entry_uv.shape
-    dims = (X, Y, Z)
-    win_z = 4
     del check_spans  # the footprint prepass also builds the DMA window table
-    unsupported = (
-        wrap != "clamp" or X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
-        or H % TILE_H != 0 or W % TILE_W != 0
-    )
-    origins = None
-    xwords = None
-    pairs = False
-    if not unsupported:
-        spans, mins, maxs = _footprint_scan(entry_uv, direction, hit, dims,
-                                            max_samples)
-        span_y, span_z = int(spans[0]), int(spans[1])
-        wz = choose_win_z(span_z) if span_y <= WIN_Y and Z >= max(
-            4, span_z) else None
-        if max_samples % 2 == 0:
-            _, _, pspans = pair_unions(mins, maxs, max_samples)
-            pwz = choose_win_z(int(pspans[1]))
-            # pairs halve loop iterations/DMA issues but sample pwz-row
-            # windows; with the measured cost split (sampling ~33%, DMA ~40%,
-            # loop ~27%, docs/PERF_NOTES.md) pairs win iff pwz <= ~1.6*wz
-            pairs_ok = (pwz is not None and int(pspans[0]) <= WIN_Y
-                        and Z >= pwz)
-            if pairs_ok and (wz is None or pwz <= 1.5 * wz):
-                pairs = True
-                win_z = pwz
-                origins = build_word_table_pairs(mins, maxs, dims, win_z,
-                                                 max_samples)
-                if int(pspans[2]) <= NARROW_SPAN_X:
-                    xwords = build_xword_table(mins, maxs, dims, max_samples)
-        if not pairs:
-            if wz is None:
-                unsupported = True
-            else:
-                win_z = wz
-                origins = build_word_table(mins, dims, win_z,
-                                           n_steps=max_samples)
-    if unsupported:
+    Z, Y, X = volume.shape
+    if wrap != "clamp":
         return render_compositing(volume, entry_uv, direction, hit,
                                   max_samples, wrap)
-
-    rays = _pack_rays(entry_uv, direction, hit, dims)
-    color, alpha = _launch(rays, origins, volume, dims, max_samples,
-                           win_z=win_z, pairs=pairs, xwords=xwords)
-    color = _untile(color, H, W)
-    alpha = _untile(alpha, H, W)
-    return apply_reference_transfer(color, alpha), alpha
+    plan = CompositingPlan(entry_uv, direction, hit, (X, Y, Z), max_samples)
+    return plan.render(volume)
 
 
 class CompositingPlan:
     """Plan-once / render-many API: precomputes the tile packing and the span
     prepass for a fixed camera (ray bundle), so per-frame cost is just the
     kernel launch.  Falls back to the jnp renderer when the kernel cannot
-    serve the configuration."""
+    serve the configuration.
+
+    The planner picks the steps-per-window ``group`` k from {1, 2, 4, 8} by
+    the ``_group_cost`` model: larger k amortizes the per-window fixed cost
+    (DMA issue + loop scalar work) over more substeps, at the price of a
+    taller union window (more sampling rows per substep)."""
 
     def __init__(self, entry_uv, direction, hit, dims, max_samples: int = MAX_SAMPLES):
         self.entry_uv = entry_uv
@@ -798,7 +812,7 @@ class CompositingPlan:
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
         self.win_z = None
-        self.pairs = False
+        self.group = 1
         self.xwords = None
         shapes_ok = not (
             X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
@@ -811,31 +825,41 @@ class CompositingPlan:
             self.maxs = maxs
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
             span_y, span_z = int(spans[0]), int(spans[1])
-            wz = None
+            best = None  # (cost, k, win_z, group_span_x)
             if span_y <= WIN_Y and Z >= max(4, span_z):
                 wz = choose_win_z(span_z)
-            if max_samples % 2 == 0:
-                _, _, pspans = pair_unions(mins, maxs, max_samples)
-                pwz = choose_win_z(int(pspans[1]))
-                pairs_ok = (pwz is not None and int(pspans[0]) <= WIN_Y
-                            and Z >= pwz)
-                # see render_compositing_pallas: pairs only when the taller
-                # union window doesn't cost more sampling than it saves
-                if pairs_ok and (wz is None or pwz <= 1.5 * wz):
-                    self.pairs = True
-                    self.win_z = pwz
-                    self.words_dense = build_word_table_pairs(
-                        mins, maxs, self.dims, pwz, max_samples)
-                    if int(pspans[2]) <= NARROW_SPAN_X:
-                        self.xwords = build_xword_table(mins, maxs, self.dims,
-                                                        max_samples)
-            if not self.pairs and wz is not None:
+                if wz is not None:
+                    best = (_group_cost(1, wz), 1, wz, None)
+            for k in GROUP_KS:
+                if max_samples % k:
+                    continue
+                _, _, gspans = group_unions(mins, maxs, max_samples, k=k)
+                gwz = choose_win_z(int(gspans[1]), cap=WIN_Z_GROUP_MAX)
+                if gwz is None or int(gspans[0]) > WIN_Y or Z < gwz:
+                    continue
+                cost = _group_cost(k, gwz)
+                if best is None or cost < best[0]:
+                    best = (cost, k, gwz, int(gspans[2]))
+            if best is not None:
+                _, k, wz, gspan_x = best
+                self.group = k
                 self.win_z = wz
-                self.words_dense = build_word_table(mins, self.dims, wz,
-                                                    n_steps=max_samples)
+                if k == 1:
+                    self.words_dense = build_word_table(
+                        mins, self.dims, wz, n_steps=max_samples)
+                else:
+                    self.words_dense = build_word_table_group(
+                        mins, maxs, self.dims, wz, max_samples, k=k)
+                    if gspan_x <= NARROW_SPAN_X:
+                        self.xwords = build_xword_table(mins, maxs, self.dims,
+                                                        max_samples, k=k)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
+
+    @property
+    def pairs(self):  # backward-compat alias
+        return self.group > 1
 
     def bind(self, volume=None, mip8=None):
         """Occupancy word table for this volume: steps whose windows are
@@ -845,11 +869,12 @@ class CompositingPlan:
         ``codecs.device.tree_occupancy_mip8``) to skip from compressed-tree
         metadata with no dense-volume pass."""
         assert self.use_kernel
-        if self.pairs:
-            return build_word_table_pairs(self.mins, self.maxs, self.dims,
+        if self.group > 1:
+            return build_word_table_group(self.mins, self.maxs, self.dims,
                                           self.win_z, self.max_samples,
                                           volume=volume, threshold=0.0,
-                                          span_x=self.span_x, mip8=mip8)
+                                          span_x=self.span_x, mip8=mip8,
+                                          k=self.group)
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume, threshold=0.0,
                                 n_steps=self.max_samples,
@@ -868,7 +893,7 @@ class CompositingPlan:
             words = self.words_dense
         color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z,
-                               pairs=self.pairs, xwords=self.xwords)
+                               group=self.group, xwords=self.xwords)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
