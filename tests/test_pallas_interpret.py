@@ -100,6 +100,54 @@ def test_interpret_occupancy_skipping_exact():
         _assert_parity(plan, vol, rays, 24, words=words)
 
 
+def test_interpret_pooled_compressed_march_parity():
+    """Compressed-domain march: windows DMA from the sparse slab pool
+    (pair16 words + slab map) instead of a dense pair volume; outputs equal
+    the jnp renderer, and empty z-slabs are actually non-resident."""
+    Z, Y, X = 32, 16, 256
+    v = np.zeros((Z, Y, X), np.float32)
+    v[9:14, 4:12, 30:200] = np.linspace(0.2, 1.0, 170, dtype=np.float32)
+    vol = as_normalized_volume(np.round(v * 255.0).astype(np.uint8))
+    rays = _rays()
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24, pooled=True)
+        assert plan.use_kernel and plan.group > 1
+        pool, smap = RK.build_slab_pool(vol)
+        # occupied z rows [9, 14) touch z-blocks 1 (and block 0 via slab
+        # overlap): far fewer resident slots than slabs
+        assert pool.shape[0] < Z // 8 + 1
+        assert int(np.asarray(smap).max()) == pool.shape[0] - 1
+        words = plan.bind(vol)
+        rgb_k, a_k = plan.render_pooled(pool, smap, words=words)
+    rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction,
+                                    rays.hit, max_samples=24)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=1e-5)
+
+
+def test_interpret_pooled_dense_volume_parity():
+    """Pooled march on a fully dense random volume (every slab resident):
+    the i32half unpack path is exact."""
+    rng = np.random.default_rng(5)
+    Z, Y, X = 16, 16, 256
+    vol = as_normalized_volume(
+        np.round(rng.random((Z, Y, X)) * 255.0).astype(np.uint8))
+    rays = _rays()
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=16, pooled=True)
+        assert plan.use_kernel
+        pool, smap = RK.build_slab_pool(vol)
+        rgb_k, a_k = plan.render_pooled(pool, smap)
+    rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction,
+                                    rays.hit, max_samples=16)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=1e-5)
+
+
 def test_interpret_isosurface_parity():
     # a smooth sphere: crossing detection on pure noise flips on 1-ulp
     # sample differences (tent weights vs compare-select weights), which is

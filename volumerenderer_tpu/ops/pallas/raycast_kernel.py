@@ -111,12 +111,25 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
 
     rows = slab_block.reshape(R, width)
     xi_b = jnp.broadcast_to(xi - xeff, (R, 128))
-    pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127), axis=1)
-    for c in range(1, n_chunks):
-        cc = jnp.take_along_axis(
-            rows[:, c * 128:(c + 1) * 128],
-            jnp.clip(xi_b - c * 128, 0, 127), axis=1)
-        pair = jnp.where(xi_b >= c * 128, cc, pair)
+    if fmt == "i32half":
+        xw = xi_b >> 1
+        word = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xw, 0, 127),
+                                   axis=1)
+        for c in range(1, n_chunks):
+            cc = jnp.take_along_axis(
+                rows[:, c * 128:(c + 1) * 128],
+                jnp.clip(xw - c * 128, 0, 127), axis=1)
+            word = jnp.where(xw >= c * 128, cc, word)
+        p16 = jnp.where((xi_b & 1) == 1, word >> 16, word) & 0xFFFF
+        pair = p16.astype(jnp.float32)
+    else:
+        pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127),
+                                   axis=1)
+        for c in range(1, n_chunks):
+            cc = jnp.take_along_axis(
+                rows[:, c * 128:(c + 1) * 128],
+                jnp.clip(xi_b - c * 128, 0, 127), axis=1)
+            pair = jnp.where(xi_b >= c * 128, cc, pair)
 
     g0 = jnp.floor(pair * (1.0 / 256.0))   # exact: pair < 2^16 in f32
     g1 = pair - g0 * 256.0
@@ -146,6 +159,15 @@ def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
                               state, sem, tile, dims=dims,
                               max_samples=max_samples, win_z=win_z,
                               xorg_ref=xorg_ref, k=group)
+
+
+def _march_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, out_ref, slab,
+                         state, sem, *, dims, max_samples, win_z, group=2):
+    for tile in range(T_PER):
+        _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
+                              state, sem, tile, dims=dims,
+                              max_samples=max_samples, win_z=win_z,
+                              map_ref=map_ref, fmt="i32half", k=group)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -253,7 +275,7 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
 def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                           sem, tile, *, dims, max_samples, win_z,
-                          xorg_ref=None, k=2):
+                          xorg_ref=None, map_ref=None, fmt="f32pair", k=2):
     """``k`` march steps per DMA window: word ``p`` covers step indices
     ``k*p .. k*p + k - 1`` and its window is the union of all k footprints,
     so the loop runs 1/k the iterations and issues 1/k the DMAs of the
@@ -265,11 +287,17 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     With ``xorg_ref`` (narrow-x mode) the volume is the chunked dual-copy
     layout of ``pack_pairs_narrow`` and each window DMA moves one 128-lane
     panel chosen by the x word — half the bytes at X=256 and a single-chunk
-    lane gather."""
+    lane gather.
+
+    With ``map_ref`` (pooled mode, ``fmt="i32half"``) the volume is the
+    sparse slab pool of ``build_slab_pool``: each window DMA reads rows
+    ``[oz & 7, oz & 7 + win_z)`` of slot ``map_ref[0, oz >> 3]`` — the
+    HBM-resident render state is only the occupied slabs."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = max_samples // k  # one-past-last group index
     narrow = xorg_ref is not None
+    pooled = map_ref is not None
 
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
     d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
@@ -280,7 +308,11 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     state[5:6, :] = rays_ref[tile, 6:7, :]
 
     def dma(slot, oz, oy, xw):
-        if narrow:
+        if pooled:
+            ms = map_ref[0, oz >> 3]
+            src = vol_ref.at[ms, pl.ds(oz & 7, WIN_Z),
+                             pl.ds(oy, WIN_Y), :]
+        elif narrow:
             src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
         else:
             src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
@@ -308,7 +340,7 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                   & (pz > 0.0) & (pz < 1.0))
         alive = (state[5:6, :] > 0.5) & inside
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z, xeff=xeff) * (1.0 / 255.0)
+                          dims, WIN_Z, xeff=xeff, fmt=fmt) * (1.0 / 255.0)
         prev_alpha = smp - smp * alpha
         color = jnp.where(alive, color + prev_alpha * smp, color)
         alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
@@ -386,6 +418,67 @@ def pack_pairs(volume):
     return s * 256.0 + jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
 
 
+@jax.jit
+def pack_pairs16(volume):
+    """(Z, Y, X) float32 in [0, 1] -> (Z, Y, X//2) int32 packing TWO 16-bit
+    pairs per word: ``word[k] = pair16[2k] | pair16[2k+1] << 16`` with
+    ``pair16[x] = s[x]*256 + s[x+1]`` (x+1 edge-clamped).  Half the HBM bytes
+    of the f32 pair volume, decoded exactly in-kernel by ``tent_sample``'s
+    ``fmt="i32half"`` path.  Requires X even."""
+    s = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0).astype(jnp.int32)
+    nxt = jnp.concatenate([s[:, :, 1:], s[:, :, -1:]], axis=2)
+    p16 = (s << 8) | nxt
+    lo = p16[:, :, 0::2]
+    hi = p16[:, :, 1::2]
+    return lo | (hi << 16)
+
+
+SLAB_H = 16        # pool slab height: slab s covers z rows [8s, 8s + 16)
+POOL_WIN_Z_MAX = 9  # (oz & 7) + win_z <= 16 for any oz in [8s, 8s + 8)
+
+
+def build_slab_pool(volume, mip8=None):
+    """Sparse z-slab residency for the compressed-domain march: pack the
+    volume as pair16 words and keep only slabs that can ever be sampled.
+
+    Returns ``(pool, slab_map)``: ``pool`` is (n_slots, 16, Y, X//2) int32
+    where slot 0 is all-zero (shared by every empty slab) and slot i >= 1
+    holds z rows [8s, 8s + 16) of an occupied slab s; ``slab_map`` is
+    (1, Z//8) int32 with ``slab_map[0, oz >> 3]`` the slot serving any
+    window origin oz.  Slabs overlap by 8 rows so every (oz, win_z <= 9)
+    window is ONE static-shape DMA from one slot.
+
+    ``mip8`` (per-8³-block maxima, e.g. ``codecs.device.tree_occupancy_mip8``)
+    drives the residency decision from compressed-tree metadata; with
+    ``mip8=None`` it is computed from the dense volume.  Empty slabs are
+    never *sampled* (the occupancy word table skips their windows exactly),
+    so mapping them to the zero slot changes no output — it only bounds what
+    stays HBM-resident.  This realizes the reference's unfinished
+    compressed-domain ambition (``isosurface_compressed.frag:18-44``,
+    ``main.cpp:203-237``) the TPU way: the resident render state is the
+    packed tree + the occupied-brick cache, not a dense f32 pair volume.
+    """
+    import numpy as np
+
+    Z, Y, X = volume.shape
+    assert Z % 8 == 0 and X % 2 == 0, (Z, X)
+    p16 = pack_pairs16(volume)
+    m8 = np.asarray(block_max8(volume) if mip8 is None else mip8)
+    zocc = (m8 > 0.0).any(axis=(1, 2))  # (ceil(Z/8),)
+    n_slabs = Z // 8
+    occ = zocc[:n_slabs].copy()
+    occ[:-1] |= zocc[1:n_slabs]  # slab s spans z-blocks s and s+1
+    slots = np.zeros(n_slabs, np.int32)
+    slots[occ] = 1 + np.arange(int(occ.sum()), dtype=np.int32)
+    padded = jnp.concatenate(
+        [p16, jnp.zeros((8, Y, X // 2), jnp.int32)], axis=0)
+    starts = 8 * np.nonzero(occ)[0].astype(np.int32)
+    rows = starts[:, None] + np.arange(SLAB_H, dtype=np.int32)[None]
+    pool = jnp.concatenate(
+        [jnp.zeros((1, SLAB_H, Y, X // 2), jnp.int32), padded[rows]], axis=0)
+    return pool, jnp.asarray(slots[None, :])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "group"))
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
@@ -439,6 +532,49 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(*operands)
+    return out[:, 0, :], out[:, 1, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "max_samples", "win_z", "group"))
+def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
+                   win_z=4, group=2):
+    """Compressed-domain launch: the volume operand is the sparse slab pool
+    (``build_slab_pool``) plus its SMEM-resident slab map — no dense pair
+    volume exists on device."""
+    n_tiles = rays_packed.shape[0]
+    X, Y, Z = dims
+    n_words = max_samples // group
+    assert group > 1 and win_z <= POOL_WIN_Z_MAX, (group, win_z)
+    assert n_tiles % T_PER == 0, (n_tiles, T_PER)
+    assert words.shape == (n_tiles, n_words), (words.shape, n_words)
+    assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
+    assert slab_map.shape == (1, Z // 8), slab_map.shape
+    word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(_march_kernel_pooled, dims=dims,
+                               max_samples=max_samples, win_z=win_z,
+                               group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // T_PER,),
+        in_specs=[
+            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec,
+            pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_z, WIN_Y, X // 2), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(rays_packed, words, slab_map, pool)
     return out[:, 0, :], out[:, 1, :]
 
 
@@ -800,14 +936,20 @@ class CompositingPlan:
     The planner picks the steps-per-window ``group`` k from {1, 2, 4, 8} by
     the ``_group_cost`` model: larger k amortizes the per-window fixed cost
     (DMA issue + loop scalar work) over more substeps, at the price of a
-    taller union window (more sampling rows per substep)."""
+    taller union window (more sampling rows per substep).
 
-    def __init__(self, entry_uv, direction, hit, dims, max_samples: int = MAX_SAMPLES):
+    With ``pooled=True`` the plan targets the compressed-domain launch
+    (``render_pooled``): windows come from the sparse slab pool, so k >= 2,
+    win_z <= POOL_WIN_Z_MAX, and X must split into 128-lane pair16 rows."""
+
+    def __init__(self, entry_uv, direction, hit, dims,
+                 max_samples: int = MAX_SAMPLES, pooled: bool = False):
         self.entry_uv = entry_uv
         self.direction = direction
         self.hit = hit
         self.dims = tuple(int(d) for d in dims)
         self.max_samples = int(max_samples)
+        self.pooled = bool(pooled)
         X, Y, Z = self.dims
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
@@ -818,6 +960,8 @@ class CompositingPlan:
             X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
             or H % TILE_H != 0 or W % TILE_W != 0
         )
+        if pooled and (X % 256 != 0 or Z % 8 != 0):
+            shapes_ok = False
         if shapes_ok:
             spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
                                                 self.dims, max_samples)
@@ -825,8 +969,9 @@ class CompositingPlan:
             self.maxs = maxs
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
             span_y, span_z = int(spans[0]), int(spans[1])
+            wz_cap = POOL_WIN_Z_MAX if pooled else WIN_Z_GROUP_MAX
             best = None  # (cost, k, win_z, group_span_x)
-            if span_y <= WIN_Y and Z >= max(4, span_z):
+            if not pooled and span_y <= WIN_Y and Z >= max(4, span_z):
                 wz = choose_win_z(span_z)
                 if wz is not None:
                     best = (_group_cost(1, wz), 1, wz, None)
@@ -834,7 +979,7 @@ class CompositingPlan:
                 if max_samples % k:
                     continue
                 _, _, gspans = group_unions(mins, maxs, max_samples, k=k)
-                gwz = choose_win_z(int(gspans[1]), cap=WIN_Z_GROUP_MAX)
+                gwz = choose_win_z(int(gspans[1]), cap=wz_cap)
                 if gwz is None or int(gspans[0]) > WIN_Y or Z < gwz:
                     continue
                 cost = _group_cost(k, gwz)
@@ -850,7 +995,7 @@ class CompositingPlan:
                 else:
                     self.words_dense = build_word_table_group(
                         mins, maxs, self.dims, wz, max_samples, k=k)
-                    if gspan_x <= NARROW_SPAN_X:
+                    if not pooled and gspan_x <= NARROW_SPAN_X:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples, k=k)
         self.use_kernel = self.win_z is not None
@@ -894,6 +1039,22 @@ class CompositingPlan:
         color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z,
                                group=self.group, xwords=self.xwords)
+        color = _untile(color, H, W)
+        alpha = _untile(alpha, H, W)
+        return apply_reference_transfer(color, alpha), alpha
+
+    def render_pooled(self, pool, slab_map, words=None):
+        """Compressed-domain render from an HBM-resident sparse slab pool
+        (``build_slab_pool``).  Requires a plan constructed with
+        ``pooled=True``.  Bit-identical samples/composites to the dense
+        kernel — only the window DMA source differs."""
+        assert self.pooled and self.use_kernel
+        H, W = self.shape
+        if words is None:
+            words = self.words_dense
+        color, alpha = _launch_pooled(self.rays_packed, words, pool, slab_map,
+                                      self.dims, self.max_samples,
+                                      win_z=self.win_z, group=self.group)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
