@@ -71,3 +71,36 @@ def test_device_decode_matches_host():
             host = H.level_cut(tree, cut)
             devv = np.asarray(level_cut_device_hashed(tree, dev, cut))
             np.testing.assert_array_equal(devv, host)
+
+
+def test_config4_pipeline_hashed_fit():
+    """BASELINE config 4 end-to-end at CI scale: 8-brick assembly ->
+    hashed-kdtree build -> DEVICE hashed decode -> differentiable TF fit
+    (the hashed codec inside an actual render+fit pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    from volumerenderer_tpu import Camera, generate_rays, as_normalized_volume
+    from volumerenderer_tpu.codecs import hashed as H
+    from volumerenderer_tpu.diff.transfer import TFParams, tf_loss
+    from volumerenderer_tpu.io.bricks import (BrickGrid, load_bricks,
+                                              synthetic_brick_source)
+
+    grid = BrickGrid(brick_dims=(8, 8, 8), grid=(2, 2, 2))
+    multi = load_bricks(synthetic_brick_source(grid), grid, 8, 2, 2, 2, 273)
+    tree = H.build(multi, tolerance=4)
+    dev = H.to_device_hashed(tree)
+    dec = H.level_cut_device_hashed(tree, dev)
+    np.testing.assert_array_equal(np.asarray(dec), H.level_cut(tree))
+    vol = as_normalized_volume(dec)
+
+    rays = generate_rays(Camera(width=32, height=16))
+    target = jnp.full(rays.entry_uv.shape[:-1] + (3,), 0.5, jnp.float32)
+    params = TFParams.reference()
+    loss0 = float(tf_loss(params, vol, rays.entry_uv, rays.direction,
+                          rays.hit, target, max_samples=24))
+    g = jax.grad(lambda p: tf_loss(p, vol, rays.entry_uv, rays.direction,
+                                   rays.hit, target, max_samples=24))(params)
+    params = jax.tree.map(lambda p, gg: p - 0.05 * gg, params, g)
+    loss1 = float(tf_loss(params, vol, rays.entry_uv, rays.direction,
+                          rays.hit, target, max_samples=24))
+    assert np.isfinite(loss1) and loss1 < loss0

@@ -172,3 +172,60 @@ def test_interpret_isosurface_parity():
     np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
                                atol=2e-3)
+
+
+def test_interpret_pooled_isosurface_parity():
+    """Compressed-domain isosurface: march from the sparse slab pool, shade
+    from the sparse neighborhood pool — hits and colors equal the dense jnp
+    path with no dense volume-sized array on device."""
+    from volumerenderer_tpu.io.synthetic import sphere_volume
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import IsosurfacePlan
+    from volumerenderer_tpu.ops.isosurface import render_isosurface
+    from volumerenderer_tpu.ops.sampling import build_shade_pool
+
+    Z, Y, X = 16, 16, 256
+    vol = as_normalized_volume(
+        sphere_volume((Z, Y, X), radius=0.3, soft=0.2))
+    rays = _rays()
+    iso = 0.5
+    with pltpu.force_tpu_interpret_mode():
+        plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                              (X, Y, Z), max_samples=24, pooled=True)
+        assert plan.use_kernel
+        pool, smap = RK.build_slab_pool(vol)
+        shade_pool = build_shade_pool(vol)
+        words = plan.bind(vol, iso)
+        rgb_k, found_k = plan.render_pooled(pool, smap, iso, words=words,
+                                            shade_pool=shade_pool)
+    rgb_r, found_r = render_isosurface(vol, rays.entry_uv, rays.direction,
+                                       rays.hit, iso_value=iso,
+                                       max_samples=24)
+    np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=2e-3)
+
+
+def test_interpret_compressed_renderer_pooled_end_to_end():
+    """CompressedRenderer.make_plan(pooled=True): packed tree -> slab pool ->
+    pooled kernels, both modes, equal to the dense-path plans."""
+    from volumerenderer_tpu.codecs.kdtree import build as build_tree
+    from volumerenderer_tpu.models.compressed import CompressedRenderer
+
+    Z, Y, X = 16, 16, 256
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                             indexing="ij")
+    r = np.sqrt(((xx - X / 2) / (X / 2)) ** 2 + ((yy - Y / 2) / (Y / 2)) ** 2
+                + ((zz - Z / 2) / (Z / 2)) ** 2)
+    data = np.clip(255.0 * (1.0 - r), 0, 255).astype(np.uint8)
+    tree = build_tree(data, tolerance=1, max_epochs=2)
+    ren = CompressedRenderer(tree)
+    rays = _rays()
+    with pltpu.force_tpu_interpret_mode():
+        for mode in ("compositing", "isosurface"):
+            out_p = ren.make_plan(rays, mode=mode, max_samples=24,
+                                  pooled=True)()
+            out_d = ren.make_plan(rays, mode=mode, max_samples=24)()
+            np.testing.assert_allclose(np.asarray(out_p[0]),
+                                       np.asarray(out_d[0]), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(out_p[1]),
+                                       np.asarray(out_d[1]), atol=1e-5)

@@ -74,3 +74,25 @@ def test_wrap_repeat_mode_runs():
                                 rays.direction, rays.hit, wrap="repeat")
     ref_rgb, _ = render_compositing_oracle(vol_u8, 8, 8, wrap="repeat")
     np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=2e-4, rtol=0)
+
+
+def test_sample_trilinear_pooled_matches_packed():
+    """Sparse-pool shading sampler == dense packed-neighborhood sampler on a
+    sparse volume (zero-slot reads are exact) and a dense one."""
+    from volumerenderer_tpu.ops.sampling import (
+        build_shade_pool, pack_neighborhoods, sample_trilinear_packed,
+        sample_trilinear_pooled)
+
+    rng = np.random.default_rng(3)
+    Z, Y, X = 24, 8, 16
+    v = np.zeros((Z, Y, X), np.float32)
+    v[9:14] = rng.random((5, Y, X))
+    for vol in (v, rng.random((Z, Y, X)).astype(np.float32)):
+        vol = jnp.asarray(np.round(vol * 255.0) / 255.0, jnp.float32)
+        pool, smap = build_shade_pool(vol)
+        packed = pack_neighborhoods(vol)
+        uvw = jnp.asarray(rng.random((257, 3)), jnp.float32)
+        a = sample_trilinear_pooled(pool, smap, (X, Y, Z), uvw)
+        b = sample_trilinear_packed(packed, uvw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert pool.shape[0] <= Z // 8 + 1

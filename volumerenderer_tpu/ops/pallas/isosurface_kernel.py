@@ -45,16 +45,31 @@ def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
                       iso255=iso_ref[0, 0])
 
 
+def _iso_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, iso_ref, out_ref,
+                       slab, state, sem, *, dims, max_samples, win_z):
+    for tile in range(T_PER):
+        _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+                      tile, dims=dims, max_samples=max_samples, win_z=win_z,
+                      iso255=iso_ref[0, 0], map_ref=map_ref, fmt="i32half")
+
+
 def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                  tile, *, dims, max_samples, win_z, iso255):
+                  tile, *, dims, max_samples, win_z, iso255, map_ref=None,
+                  fmt="f32pair"):
     X, Y, Z = dims
     WIN_Z = win_z
     END = max_samples + 1  # one-past-last valid sample position index
 
     def dma(slot, oz, oy):
-        return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
-            slab.at[slot], sem.at[slot])
+        if map_ref is not None:
+            # pooled mode: the volume is the sparse slab pool of
+            # ``raycast_kernel.build_slab_pool`` — window rows live at
+            # [oz & 7, oz & 7 + WIN_Z) of slot map_ref[0, oz >> 3]
+            src = vol_ref.at[map_ref[0, oz >> 3], pl.ds(oz & 7, WIN_Z),
+                             pl.ds(oy, WIN_Y), :]
+        else:
+            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+        return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
 
     # state rows: 0-2 pos (at step t_prev), 3 s(t_prev), 4 found, 5 alive,
     # 6 t_hit
@@ -83,7 +98,7 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         cp.start()
         cp.wait()
         state[3:4, :] = tent_sample(slab[0], p0[0], p0[1], p0[2], oz0, oy0,
-                                    dims, WIN_Z)
+                                    dims, WIN_Z, fmt=fmt)
 
     cnt0 = s0bit  # samples completed so far; pending DMA lives in slot cnt&1
     t1 = jnp.where(nd0 > 0, nd0, END)
@@ -125,7 +140,8 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         alive = alive & inside
 
         dma(slot, oz_c, oy_c).wait()
-        s_n = tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims, WIN_Z)
+        s_n = tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims, WIN_Z,
+                          fmt=fmt)
 
         # issue the DMA for the next sampled step (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
@@ -196,24 +212,68 @@ def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4):
     return out[:, 0, :], out[:, 1, :]
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
+def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
+                   max_samples, win_z=4):
+    """Compressed-domain iso launch: the volume operand is the sparse slab
+    pool of ``raycast_kernel.build_slab_pool`` (pair16 words) + its SMEM
+    slab map — no dense pair volume on device."""
+    from .raycast_kernel import POOL_WIN_Z_MAX, SLAB_H
+
+    n_tiles = rays_packed.shape[0]
+    X, Y, Z = dims
+    assert win_z <= POOL_WIN_Z_MAX, win_z
+    assert words.shape == (n_tiles, max_samples + 2), words.shape
+    assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
+    assert slab_map.shape == (1, Z // 8), slab_map.shape
+    kernel = functools.partial(_iso_kernel_pooled, dims=dims,
+                               max_samples=max_samples, win_z=win_z)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // T_PER,),
+        in_specs=[
+            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T_PER, max_samples + 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_z, WIN_Y, X // 2), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(rays_packed, words, slab_map, pool, iso255)
+    return out[:, 0, :], out[:, 1, :]
+
+
 class IsosurfacePlan:
     """Plan-once / render-many isosurface raycaster.  ``bind(volume)`` builds
     the occupancy word table so empty space is skipped exactly; unbound plans
     sample every step."""
 
     def __init__(self, entry_uv, direction, hit, dims,
-                 max_samples: int = MAX_SAMPLES):
+                 max_samples: int = MAX_SAMPLES, pooled: bool = False):
         self.entry_uv = entry_uv
         self.direction = direction
         self.hit = hit
         self.dims = tuple(int(d) for d in dims)
         self.max_samples = int(max_samples)
+        self.pooled = bool(pooled)
         X, Y, Z = self.dims
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
         self.win_z = None
         shapes_ok = not (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
                          or H % TILE_H != 0 or W % TILE_W != 0)
+        if pooled and (X % 256 != 0 or Z % 8 != 0):
+            shapes_ok = False
         if shapes_ok:
             spans, mins, _ = _footprint_scan(entry_uv, direction, hit,
                                              self.dims, self.max_samples + 1)
@@ -261,20 +321,39 @@ class IsosurfacePlan:
         return _shade(volume, self.entry_uv, self.direction, found, t_hit,
                       iso_value, self.dims)
 
+    def render_pooled(self, pool, slab_map, iso_value=40.0 / 255.0,
+                      words=None, shade_pool=None):
+        """Compressed-domain isosurface render: march from the sparse slab
+        pool (``raycast_kernel.build_slab_pool``), shade from the sparse
+        neighborhood pool (``sampling.build_shade_pool``) — at no point does
+        a dense volume-sized array exist on device.  March samples, hit
+        steps, bisection brackets, normals, and Phong colors are identical
+        to the dense path.  ``shade_pool`` is the (pool, slab_map) pair from
+        ``build_shade_pool``; required (the marching pool cannot serve the
+        shading taps, whose ±DELTA offsets exceed the march windows)."""
+        assert self.pooled and self.use_kernel
+        assert shade_pool is not None
+        if words is None:
+            words = self.words_dense
+        H, W = self.shape
+        iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
+        found_t, t_hit_t = _launch_pooled(self.rays_packed, words, pool,
+                                          slab_map, iso255, self.dims,
+                                          self.max_samples, win_z=self.win_z)
+        found = _untile(found_t, H, W) > 0.5
+        t_hit = _untile(t_hit_t, H, W)
+        spool, smap = shade_pool
+        return _shade_pooled(spool, smap, self.entry_uv, self.direction,
+                             found, t_hit, iso_value, self.dims)
 
-@functools.partial(jax.jit, static_argnames=("dims",))
-def _shade(volume, entry_uv, direction, found, t_hit, iso_value, dims):
-    """Shading pass (isosurface.frag:129-156) on the full image, hit-masked.
 
-    Gather-light: all 10 trilinear evals (4-step bisection + 6 gradient taps)
-    run against the packed-neighborhood volume — one gather slice per sample
-    instead of eight (``sampling.pack_neighborhoods``), with the same
-    bisection/normal/Phong arithmetic as the jnp reference path."""
-    from ..sampling import pack_neighborhoods, sample_trilinear_packed
+def _shade_impl(sampler, entry_uv, direction, found, t_hit, iso_value, dims):
+    """Shading arithmetic (isosurface.frag:129-156), hit-masked, generic in
+    the trilinear sampler: 4-step bisection, DELTA central-difference
+    normal, Phong — same math as the jnp reference path."""
     from ..isosurface import DELTA
 
     X, Y, Z = dims
-    packed = pack_neighborhoods(volume)
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
     pos_near = entry_uv + (t_hit[..., None] + 1.0) * step
     pos_far = pos_near + step
@@ -282,16 +361,14 @@ def _shade(volume, entry_uv, direction, found, t_hit, iso_value, dims):
     left, right = pos_near, pos_far
     for _ in range(4):  # Bisection, isosurface.frag:23-42
         mid = (right + left) * 0.5
-        c_m = sample_trilinear_packed(packed, mid)
+        c_m = sampler(mid)
         go_left = (c_m < iso)[..., None]
         left = jnp.where(go_left, mid, left)
         right = jnp.where(go_left, right, mid)
     tc = (right + left) * 0.5
     offsets = jnp.eye(3, dtype=jnp.float32) * DELTA
-    s1 = jnp.stack([sample_trilinear_packed(packed, tc - offsets[i])
-                    for i in range(3)], axis=-1)
-    s2 = jnp.stack([sample_trilinear_packed(packed, tc + offsets[i])
-                    for i in range(3)], axis=-1)
+    s1 = jnp.stack([sampler(tc - offsets[i]) for i in range(3)], axis=-1)
+    s2 = jnp.stack([sampler(tc + offsets[i]) for i in range(3)], axis=-1)
     g = (s1 - s2) / 2.0
     norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     N = g / jnp.where(norm > 0, norm, 1.0)
@@ -300,6 +377,34 @@ def _shade(volume, entry_uv, direction, found, t_hit, iso_value, dims):
     white = jnp.ones(entry_uv.shape[:-1] + (3,), jnp.float32)
     rgb = jnp.where(found[..., None], color, white)
     return rgb, found
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _shade(volume, entry_uv, direction, found, t_hit, iso_value, dims):
+    """Shading pass on the full image, hit-masked.
+
+    Gather-light: all 10 trilinear evals (4-step bisection + 6 gradient taps)
+    run against the packed-neighborhood volume — one gather slice per sample
+    instead of eight (``sampling.pack_neighborhoods``)."""
+    from ..sampling import pack_neighborhoods, sample_trilinear_packed
+
+    packed = pack_neighborhoods(volume)
+    return _shade_impl(lambda p: sample_trilinear_packed(packed, p),
+                       entry_uv, direction, found, t_hit, iso_value, dims)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _shade_pooled(spool, smap, entry_uv, direction, found, t_hit, iso_value,
+                  dims):
+    """Shading pass against the sparse neighborhood pool
+    (``sampling.build_shade_pool``): same gather count as ``_shade`` (one
+    slice per trilinear eval, indirected through the z-slab map) with only
+    occupied slabs resident."""
+    from ..sampling import sample_trilinear_pooled
+
+    return _shade_impl(
+        lambda p: sample_trilinear_pooled(spool, smap, dims, p),
+        entry_uv, direction, found, t_hit, iso_value, dims)
 
 
 def render_isosurface_pallas(volume, entry_uv, direction, hit,

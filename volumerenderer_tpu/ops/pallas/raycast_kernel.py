@@ -112,16 +112,23 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
     rows = slab_block.reshape(R, width)
     xi_b = jnp.broadcast_to(xi - xeff, (R, 128))
     if fmt == "i32half":
+        # gather in f32 lanes (bitcast, not convert): the Mosaic lane gather
+        # is fast for f32 rows; i32 take_along_axis lowers much slower
+        rows_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
         xw = xi_b >> 1
-        word = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xw, 0, 127),
-                                   axis=1)
+        word_f = jnp.take_along_axis(rows_f[:, 0:128], jnp.clip(xw, 0, 127),
+                                     axis=1)
         for c in range(1, n_chunks):
             cc = jnp.take_along_axis(
-                rows[:, c * 128:(c + 1) * 128],
+                rows_f[:, c * 128:(c + 1) * 128],
                 jnp.clip(xw - c * 128, 0, 127), axis=1)
-            word = jnp.where(xw >= c * 128, cc, word)
+            word_f = jnp.where(xw >= c * 128, cc, word_f)
+        word = jax.lax.bitcast_convert_type(word_f, jnp.int32)
         p16 = jnp.where((xi_b & 1) == 1, word >> 16, word) & 0xFFFF
-        pair = p16.astype(jnp.float32)
+        # exact int->float without a convert op: for 0 <= v < 2^23 the f32
+        # with bits (0x4B000000 | v) equals 2^23 + v
+        pair = jax.lax.bitcast_convert_type(
+            p16 | jnp.int32(0x4B000000), jnp.float32) - jnp.float32(8388608.0)
     else:
         pair = jnp.take_along_axis(rows[:, 0:128], jnp.clip(xi_b, 0, 127),
                                    axis=1)
@@ -309,8 +316,9 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
     def dma(slot, oz, oy, xw):
         if pooled:
+            # 3D flattened pool: slot rows at [16*slot, 16*slot + SLAB_H)
             ms = map_ref[0, oz >> 3]
-            src = vol_ref.at[ms, pl.ds(oz & 7, WIN_Z),
+            src = vol_ref.at[pl.ds(ms * SLAB_H + (oz & 7), WIN_Z),
                              pl.ds(oy, WIN_Y), :]
         elif narrow:
             src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
@@ -555,6 +563,7 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
     kernel = functools.partial(_march_kernel_pooled, dims=dims,
                                max_samples=max_samples, win_z=win_z,
                                group=group)
+    pool3 = pool.reshape(-1, Y, X // 2)  # 3D view: same-form DMA as dense
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
@@ -574,7 +583,7 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(rays_packed, words, slab_map, pool)
+    )(rays_packed, words, slab_map, pool3)
     return out[:, 0, :], out[:, 1, :]
 
 

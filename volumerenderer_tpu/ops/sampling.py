@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["sample_trilinear", "as_normalized_volume",
-           "pack_neighborhoods", "sample_trilinear_packed"]
+           "pack_neighborhoods", "sample_trilinear_packed",
+           "build_shade_pool", "sample_trilinear_pooled"]
 
 
 def as_normalized_volume(volume) -> jnp.ndarray:
@@ -130,6 +131,78 @@ def sample_trilinear_packed(packed: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarra
     f = jnp.clip(t, 0.0, dims - 1.0) - i0c
     idx = i0c.astype(jnp.int32)
     w = packed[idx[..., 2], idx[..., 1], idx[..., 0]]  # (..., 2)
+    w0 = w[..., 0]
+    w1 = w[..., 1]
+    c000 = (w0 & 0xFF).astype(jnp.float32)
+    c100 = ((w0 >> 8) & 0xFF).astype(jnp.float32)
+    c010 = ((w0 >> 16) & 0xFF).astype(jnp.float32)
+    c110 = ((w0 >> 24) & 0xFF).astype(jnp.float32)
+    c001 = (w1 & 0xFF).astype(jnp.float32)
+    c101 = ((w1 >> 8) & 0xFF).astype(jnp.float32)
+    c011 = ((w1 >> 16) & 0xFF).astype(jnp.float32)
+    c111 = ((w1 >> 24) & 0xFF).astype(jnp.float32)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = c000 + (c100 - c000) * fx
+    c10 = c010 + (c110 - c010) * fx
+    c01 = c001 + (c101 - c001) * fx
+    c11 = c011 + (c111 - c011) * fx
+    c0 = c00 + (c10 - c00) * fy
+    c1 = c01 + (c11 - c01) * fy
+    return (c0 + (c1 - c0) * fz) * (1.0 / 255.0)
+
+
+def build_shade_pool(volume: jnp.ndarray, mip8=None):
+    """Sparse z-slab residency for the packed-neighborhood volume (the
+    isosurface shading sampler): returns ``(pool, slab_map)`` where ``pool``
+    is (n_slots, 8, Y, X, 2) uint32 — slot 0 all-zero, slot i >= 1 the
+    ``pack_neighborhoods`` rows [8s, 8s + 8) of occupied slab s — and
+    ``slab_map`` (Z//8,) int32 maps z-block -> slot.  Neighborhood words bake
+    the +1 taps in, so per-voxel slab indirection needs no overlap rows.
+
+    Zero-slot reads are exact, not approximate: an unoccupied slab has block
+    max 0, so every tap a shading sample would fetch there is truly 0.
+    ``mip8`` (e.g. ``codecs.device.tree_occupancy_mip8``) drives residency
+    from compressed-tree metadata; ``None`` computes it from the volume."""
+    import numpy as np
+
+    Z, Y, X = volume.shape
+    assert Z % 8 == 0, Z
+    packed = pack_neighborhoods(volume)
+    if mip8 is None:
+        s = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0)
+        m8 = np.asarray(s.reshape(Z // 8, 8, Y, X).max(axis=(1, 2, 3)))
+        zocc = m8 > 0.0
+    else:
+        zocc = (np.asarray(mip8) > 0.0).any(axis=(1, 2))[: Z // 8]
+    # the z1 plane of a cell in the slab's last row lives in the next slab's
+    # first row, but pack_neighborhoods bakes it into this slab's words — so
+    # occupancy must include slabs whose only content is a neighbor's z1 tap
+    occ = zocc.copy()
+    occ[:-1] |= zocc[1:]
+    slots = np.zeros(Z // 8, np.int32)
+    slots[occ] = 1 + np.arange(int(occ.sum()), dtype=np.int32)
+    rows = (8 * np.nonzero(occ)[0].astype(np.int32)[:, None]
+            + np.arange(8, dtype=np.int32)[None])
+    pool = jnp.concatenate(
+        [jnp.zeros((1, 8, Y, X, 2), jnp.uint32),
+         packed[rows.reshape(-1)].reshape(-1, 8, Y, X, 2)], axis=0)
+    return pool, jnp.asarray(slots)
+
+
+def sample_trilinear_pooled(pool: jnp.ndarray, slab_map: jnp.ndarray,
+                            dims, uvw: jnp.ndarray) -> jnp.ndarray:
+    """``sample_trilinear_packed`` against a ``build_shade_pool`` sparse
+    pool: one gather per sample, indirected through the z-slab map.  ``dims``
+    is (X, Y, Z)."""
+    X, Y, Z = dims
+    fdims = jnp.array([X, Y, Z], dtype=jnp.float32)
+    t = uvw * fdims - 0.5
+    i0f = jnp.floor(t)
+    i0c = jnp.clip(i0f, 0.0, fdims - 1.0)
+    f = jnp.clip(t, 0.0, fdims - 1.0) - i0c
+    idx = i0c.astype(jnp.int32)
+    iz = idx[..., 2]
+    w = pool[slab_map[iz >> 3], iz & 7, idx[..., 1], idx[..., 0]]  # (..., 2)
     w0 = w[..., 0]
     w1 = w[..., 1]
     c000 = (w0 & 0xFF).astype(jnp.float32)
