@@ -8,8 +8,9 @@ there is no NCCL/MPI analogue to port (SURVEY.md §2 "Parallelism & distribution
 
 Mesh convention: 2-D ``(dp, rays)`` — ``dp`` shards the batch of views/targets
 (data parallelism), ``rays`` shards image rows within a view (the renderer's
-"sequence/tile" parallelism).  The volume and TF parameters are replicated;
-brick-sharded volumes with halo exchange land in ``bricks.py``/round 2+.
+"sequence/tile" parallelism).  The volume and TF parameters are replicated
+here; volume sharding lives in ``context.py`` (1-D z-shards) and
+``bricks.py`` (3-D brick shards with halo exchange).
 """
 from __future__ import annotations
 
@@ -95,23 +96,34 @@ def tf_fit_step(mesh: Mesh, params: TFParams, volume, entry_uv, direction, hit,
 
 
 def scaling_efficiency_probe(mesh: Mesh, volume, entry_uv, direction, hit,
-                             max_samples: int = 300):
-    """Render once on the full mesh and once on a single device; returns the
-    ratio of per-device throughputs (>= 0.8 is the north-star target)."""
+                             max_samples: int = 300, frames: int = 4):
+    """Render on the full mesh and on a single device; returns the ratio of
+    per-device throughputs (>= 0.8 is the north-star target).
+
+    Timing uses the force-transfer protocol from ``bench.py``: ``frames``
+    renders are enqueued back-to-back and forced ONCE by an on-device
+    reduction plus a 4-byte host transfer — ``block_until_ready`` does not
+    block over the axon dev tunnel, so per-frame synchronization would
+    measure the link, not the chips (docs/PERF_NOTES.md)."""
     import time
 
     params = TFParams.reference()
 
-    def bench(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
+    def bench(m):
+        def frame():
+            rgb, a = render_tf_sharded(m, params, volume, entry_uv,
+                                       direction, hit, max_samples)
+            return jnp.sum(rgb) + jnp.sum(a)
 
-    t_mesh = bench(lambda *a: render_tf_sharded(mesh, *a), params, volume, entry_uv, direction, hit)
-    mesh1 = make_mesh(1, devices=list(mesh.devices.flat))
-    t_one = bench(lambda *a: render_tf_sharded(mesh1, *a), params, volume, entry_uv, direction, hit)
+        float(frame())  # warmup/compile
+        t0 = time.perf_counter()
+        s = jnp.float32(0)
+        for _ in range(frames):
+            s = s + frame()
+        assert np.isfinite(float(s))  # the one forced transfer
+        return (time.perf_counter() - t0) / frames
+
+    t_mesh = bench(mesh)
+    t_one = bench(make_mesh(1, devices=list(mesh.devices.flat)))
     n = mesh.devices.size
     return (t_one / n) / t_mesh
