@@ -229,3 +229,59 @@ def test_interpret_compressed_renderer_pooled_end_to_end():
                                        np.asarray(out_d[0]), atol=1e-5)
             np.testing.assert_allclose(np.asarray(out_p[1]),
                                        np.asarray(out_d[1]), atol=1e-5)
+
+
+def test_interpret_tf_kernel_forward_and_grads():
+    """Single-pass TF kernel (ops/pallas/tf_kernel.py): outputs equal the
+    jnp render_tf, and the closed-form parameter gradients equal
+    jax.grad through the jnp march — at non-reference TF params and with
+    general cotangents on both outputs."""
+    import jax
+    from volumerenderer_tpu.diff.transfer import TFParams, render_tf
+    from volumerenderer_tpu.ops.pallas.tf_kernel import make_render_tf_kernel
+
+    vol = _volume()
+    rays = _rays()
+    Z, Y, X = vol.shape
+    params = TFParams(alpha_scale=jnp.float32(0.45),
+                      color_gain=jnp.float32(0.9),
+                      color_bias=jnp.float32(0.05),
+                      flip_sign=jnp.array([-0.8, 0.6, 0.3], jnp.float32),
+                      flip_bias=jnp.array([0.9, 0.2, 0.4], jnp.float32))
+    rng = np.random.default_rng(2)
+    w_rgb = jnp.asarray(rng.standard_normal(rays.entry_uv.shape[:-1] + (3,)),
+                        jnp.float32)
+    w_a = jnp.asarray(rng.standard_normal(rays.entry_uv.shape[:-1]),
+                      jnp.float32)
+
+    def loss_ref(p):
+        rgb, a = render_tf(p, vol, rays.entry_uv, rays.direction, rays.hit,
+                           max_samples=24)
+        return jnp.sum(rgb * w_rgb) + jnp.sum(a * w_a)
+
+    g_ref = jax.grad(loss_ref)(params)
+    rgb_ref, a_ref = render_tf(params, vol, rays.entry_uv, rays.direction,
+                               rays.hit, max_samples=24)
+
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        f = make_render_tf_kernel(plan)
+
+        def loss_k(p):
+            rgb, a = f(p, vol)
+            return jnp.sum(rgb * w_rgb) + jnp.sum(a * w_a)
+
+        rgb_k, a_k = f(params, vol)
+        g_k = jax.grad(loss_k)(params)
+
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_ref), atol=1e-5)
+    for name in TFParams._fields:
+        gr = np.asarray(getattr(g_ref, name))
+        gk = np.asarray(getattr(g_k, name))
+        np.testing.assert_allclose(
+            gk, gr, rtol=2e-4, atol=2e-4 * max(1.0, np.abs(gr).max()),
+            err_msg=name)
