@@ -199,3 +199,40 @@ def test_native_full_build_matches_python_nonpow2():
         np.testing.assert_array_equal(nat.preorder, py.preorder)
         np.testing.assert_array_equal(nat.level_cut(nat.max_depth),
                                       py.level_cut(py.max_depth))
+
+
+def test_open_tree_full_roundtrip():
+    """Checkpoint -> full level-structured KdTree: the inverse preorder walk
+    (native + Python automaton) reproduces the codes (re-serialization is
+    byte-equal, enforced inside open_tree_full) and the same decode."""
+    import tempfile, os
+    from volumerenderer_tpu.codecs import kdtree as K
+
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 255, size=(8, 16, 32), dtype=np.uint8)
+    tree = K.build(vol, tolerance=1, max_epochs=2)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.bin")
+        K.save(tree, path)
+        t2 = K.open_tree_full(path)
+    np.testing.assert_array_equal(K.level_cut(t2), K.level_cut(tree))
+    np.testing.assert_array_equal(K.to_preorder(t2), K.to_preorder(tree))
+    assert t2.num_active_nodes == tree.num_active_nodes
+
+    # Python-fallback automaton agrees with the native walk
+    pre = K.to_preorder(tree)
+    lc_n, ch_n = K.preorder_to_levels(pre, tree.orig_depth, tree.max_depth)
+    import volumerenderer_tpu.codecs.kdtree as KM
+    import volumerenderer_tpu.native as NM
+
+    real = KM.kdtree_native if hasattr(KM, "kdtree_native") else None
+    orig_load = NM._load
+    NM._load = lambda: (_ for _ in ()).throw(OSError("forced fallback"))
+    try:
+        lc_p, ch_p = K.preorder_to_levels(pre, tree.orig_depth,
+                                          tree.max_depth)
+    finally:
+        NM._load = orig_load
+    for a, b in zip(lc_n, lc_p):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ch_n, ch_p)

@@ -51,9 +51,15 @@ class TimestepStreamer:
         if self.cache_dir:
             path = os.path.join(self.cache_dir, f"tree_{t:04d}.bin")
             if os.path.exists(path):
-                # resume from checkpoint: decode-only (open + levelCut)
-                raw = K.open_tree(path)
-                return ("raw", t, raw)
+                # resume from checkpoint: rebuild the level-structured tree
+                # (verified inverse preorder walk) so the resumed timestep
+                # keeps the full compressed-renderer path — device decode,
+                # cut-depth control, tree-metadata occupancy, slab pools
+                try:
+                    return ("tree", t, K.open_tree_full(path))
+                except ValueError:
+                    # unverifiable stream: decode-only dense fallback
+                    return ("raw", t, K.open_tree(path))
         num_bricks, I, J, Kb = self.shape_args
         vol = load_bricks(self.source, self.grid, num_bricks, I, J, Kb, t)
         tree = K.build(vol, tolerance=self.tolerance, max_epochs=self.max_epochs)

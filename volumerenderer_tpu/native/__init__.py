@@ -52,6 +52,12 @@ def _load():
     lib.build_full_native.restype = ctypes.c_int64
     lib.set_native_threads.argtypes = [ctypes.c_int32]
     lib.set_native_threads.restype = None
+    lib.preorder_to_levels_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32]
+    lib.preorder_to_levels_native.restype = None
     _lib = lib
     return lib
 
@@ -133,3 +139,20 @@ class kdtree_native:
             packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             leaf_recon.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return int(n_active), packed, dm, leaf_recon
+
+    @staticmethod
+    def preorder_to_levels(packed: np.ndarray, num_active: int,
+                           orig_depth: int, max_depth: int, chain_len: int):
+        """Rebuild the level-structured layout from a packed 2-bit preorder
+        stream; returns (levels_flat prefilled 3, chains prefilled 255)."""
+        lib = _load()
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        levels_flat = np.full((1 << (orig_depth + 1)) - 1, 3, dtype=np.uint8)
+        chains = np.full(((1 << orig_depth), chain_len), 255, dtype=np.uint8)
+        lib.preorder_to_levels_native(
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(num_active), int(orig_depth), int(max_depth),
+            levels_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            chains.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(chain_len))
+        return levels_flat, chains
