@@ -104,3 +104,23 @@ def test_config4_pipeline_hashed_fit():
     loss1 = float(tf_loss(params, vol, rays.entry_uv, rays.direction,
                           rays.hit, target, max_samples=24))
     assert np.isfinite(loss1) and loss1 < loss0
+
+
+def test_native_build_matches_python():
+    """The native hashed builder (hashed_native.cpp) is bit-identical to the
+    Python passes: tables, collision map, distance map, and decode."""
+    from volumerenderer_tpu.io.synthetic import turbulence_volume
+
+    v = turbulence_volume((16, 32, 16), seed=5)
+    tp = H.build(v, tolerance=4, use_native=False)
+    tn = H.build(v, tolerance=4)
+    assert tp.tree_depth == tn.tree_depth
+    np.testing.assert_array_equal(tp.distance_map, tn.distance_map)
+    np.testing.assert_array_equal(tp.tree_data, tn.tree_data)
+    np.testing.assert_array_equal(tp.tree_structure, tn.tree_structure)
+    np.testing.assert_array_equal(tp.coll_keys, tn.coll_keys)
+    np.testing.assert_array_equal(tp.coll_data[tp.coll_vals],
+                                  tn.coll_data[tn.coll_vals])
+    np.testing.assert_array_equal(tp.coll_structure[tp.coll_vals],
+                                  tn.coll_structure[tn.coll_vals])
+    np.testing.assert_array_equal(H.level_cut(tp), H.level_cut(tn))

@@ -292,7 +292,13 @@ class _Builder:
         )
 
 
-def build(volume: np.ndarray, tolerance: int = DEFAULT_TOLERANCE) -> HashedKdTree:
+def build(volume: np.ndarray, tolerance: int = DEFAULT_TOLERANCE,
+          use_native: bool = True) -> HashedKdTree:
+    if use_native:
+        try:
+            return _build_native(volume, tolerance)
+        except OSError:
+            pass  # no toolchain: pure-Python fallback below
     b = _Builder(volume, tolerance)
     b.pass1()
     # distanceMap[d] = (byte)(sums/counts) — truncation (:59-61)
@@ -302,6 +308,49 @@ def build(volume: np.ndarray, tolerance: int = DEFAULT_TOLERANCE) -> HashedKdTre
     b.distance_map = dm.astype(np.uint8)
     b.pass2()
     return b.finish()
+
+
+def _build_native(volume: np.ndarray, tolerance: int) -> HashedKdTree:
+    """Native builder (``native/hashed_native.cpp``): bit-identical to the
+    Python passes (same DFS order, double arithmetic, eviction bookkeeping;
+    asserted equal in tests), ~100x faster — the build passes are inherently
+    sequential (hash-slot ownership is visit-order-dependent), so host-native
+    is the idiomatic split: C++ builds, the TPU decodes
+    (``level_cut_device_hashed``)."""
+    from ..native import hashed_native
+
+    volume = np.asarray(volume, dtype=np.uint8)
+    Z, Y, X = volume.shape
+    schedule = split_schedule(X, Y, Z)
+    D = len(schedule)
+    leaves = volume_to_leaves(volume, schedule)
+    # flat midrange/uniformity pyramid, level d at offset 2^d - 1
+    mid_flat = np.empty((1 << (D + 1)) - 1, dtype=np.uint8)
+    uni_flat = np.empty_like(mid_flat)
+    lmin = lmax = leaves
+    mid_flat[(1 << D) - 1:] = leaves
+    uni_flat[(1 << D) - 1:] = 1
+    for d in range(D - 1, -1, -1):
+        lmin = np.minimum(lmin[0::2], lmin[1::2])
+        lmax = np.maximum(lmax[0::2], lmax[1::2])
+        off = (1 << d) - 1
+        mid_flat[off:off + (1 << d)] = \
+            ((lmin.astype(np.uint16) + lmax) // 2).astype(np.uint8)
+        uni_flat[off:off + (1 << d)] = lmin == lmax
+    (tree_data, tree_structure, key_by_idx, coll_data, coll_structure,
+     n_coll, dm, tree_depth) = hashed_native.build(mid_flat, uni_flat, D,
+                                                   tolerance)
+    order = np.argsort(key_by_idx[:n_coll], kind="stable")
+    return HashedKdTree(
+        dims=(X, Y, Z), orig_depth=D, tree_depth=tree_depth,
+        hash_mask=(1 << D) - 1, distance_map=dm[:tree_depth + 1].copy(),
+        tree_data=tree_data, tree_structure=tree_structure,
+        coll_keys=key_by_idx[:n_coll][order].copy(),
+        coll_vals=order.astype(np.int32),
+        coll_data=coll_data[:n_coll].copy(),
+        coll_structure=coll_structure[:n_coll].copy(),
+        tolerance=tolerance,
+    )
 
 
 def level_cut(tree: HashedKdTree, cut_depth: int | None = None) -> np.ndarray:

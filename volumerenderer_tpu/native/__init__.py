@@ -58,6 +58,14 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32]
     lib.preorder_to_levels_native.restype = None
+    lib.hashed_build_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.hashed_build_native.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -156,3 +164,40 @@ class kdtree_native:
             chains.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             int(chain_len))
         return levels_flat, chains
+
+
+class hashed_native:
+    """Native Morton-hashed builder (see ``hashed_native.cpp``)."""
+
+    MAX_ADD_LEVELS = 4
+
+    @staticmethod
+    def build(mid_flat: np.ndarray, uniform_flat: np.ndarray, D: int,
+              tolerance: int):
+        """Returns (tree_data, tree_structure, key_by_idx, coll_data,
+        coll_structure, n_coll, distance_map, tree_depth)."""
+        lib = _load()
+        n = 1 << D
+        mid_flat = np.ascontiguousarray(mid_flat, dtype=np.uint8)
+        uniform_flat = np.ascontiguousarray(uniform_flat, dtype=np.uint8)
+        ncoll = 2 * (2 * n + hashed_native.MAX_ADD_LEVELS * n) + 8
+        tree_data = np.zeros(n, dtype=np.uint8)
+        tree_structure = np.zeros(n, dtype=np.uint8)
+        coll_data = np.zeros(ncoll, dtype=np.uint8)
+        coll_structure = np.zeros(ncoll, dtype=np.uint8)
+        key_by_idx = np.zeros(ncoll, dtype=np.int64)
+        dm = np.zeros(64, dtype=np.uint8)
+        tree_depth = np.zeros(1, dtype=np.int32)
+        n_coll = lib.hashed_build_native(
+            mid_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            uniform_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(D), int(tolerance),
+            tree_data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tree_structure.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            coll_data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            coll_structure.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            key_by_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tree_depth.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return (tree_data, tree_structure, key_by_idx, coll_data,
+                coll_structure, int(n_coll), dm, int(tree_depth[0]))
