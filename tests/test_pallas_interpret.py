@@ -82,6 +82,38 @@ def test_interpret_group_k_parity(k, monkeypatch):
         _assert_parity(plan, vol, rays, 16)
 
 
+def test_interpret_adaptive_win_y8_parity():
+    """When every footprint fits 8 aligned rows the planner halves the
+    window height (win_y=8 — half the bytes per window DMA); outputs equal
+    the jnp renderers for both kernels.  A Y=8 volume guarantees selection
+    (an aligned span can never exceed Y)."""
+    from volumerenderer_tpu.io.synthetic import sphere_volume
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import IsosurfacePlan
+    from volumerenderer_tpu.ops.isosurface import render_isosurface
+
+    rng = np.random.default_rng(7)
+    Z, Y, X = 8, 8, 128
+    vol = as_normalized_volume(
+        np.round(rng.random((Z, Y, X)) * 255.0).astype(np.uint8))
+    rays = _rays()
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=16)
+        assert plan.use_kernel and plan.win_y == 8
+        _assert_parity(plan, vol, rays, 16)
+    svol = as_normalized_volume(sphere_volume((Z, Y, X), radius=0.3, soft=0.2))
+    with pltpu.force_tpu_interpret_mode():
+        ip = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                            (X, Y, Z), max_samples=16)
+        assert ip.use_kernel and ip.win_y == 8
+        rgb_k, found_k = ip.render(svol, 0.5)
+    rgb_r, found_r = render_isosurface(svol, rays.entry_uv, rays.direction,
+                                       rays.hit, iso_value=0.5, max_samples=16)
+    np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=2e-3)
+
+
 def test_interpret_occupancy_skipping_exact():
     """Empty-space skipping (bound word table) leaves outputs unchanged on a
     mostly-empty volume, and marks a nontrivial number of steps skipped."""

@@ -474,6 +474,15 @@ def level_cut_device_hashed(tree: HashedKdTree, dev: dict,
     D = tree.orig_depth
     if cut_depth is None:
         cut_depth = tree.tree_depth
+    # Morton codes at depth d live in [2^d, 2^(d+1)); without jax x64 they
+    # are carried as int32, so depth 30 (2^31 - 1) is the last exact level.
+    # Larger trees (> 2^30 leaves = 8 GiB of codes) must use the host or
+    # native decoders.
+    import jax
+    if D > 30 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"device hashed decode supports orig_depth <= 30 without x64 "
+            f"(int32 Morton codes); got {D} — use level_cut() on host")
     dm = dev["distance_map"]
     mask = tree.hash_mask
 

@@ -38,24 +38,26 @@ T_PER = 8
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
-                sem, *, dims, max_samples, win_z):
+                sem, *, dims, max_samples, win_z, win_y=WIN_Y):
     for tile in range(T_PER):
         _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                       tile, dims=dims, max_samples=max_samples, win_z=win_z,
-                      iso255=iso_ref[0, 0])
+                      iso255=iso_ref[0, 0], win_y=win_y)
 
 
 def _iso_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, iso_ref, out_ref,
-                       slab, state, sem, *, dims, max_samples, win_z):
+                       slab, state, sem, *, dims, max_samples, win_z,
+                       win_y=WIN_Y):
     for tile in range(T_PER):
         _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                       tile, dims=dims, max_samples=max_samples, win_z=win_z,
-                      iso255=iso_ref[0, 0], map_ref=map_ref, fmt="i32half")
+                      iso255=iso_ref[0, 0], map_ref=map_ref, fmt="i32half",
+                      win_y=win_y)
 
 
 def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
                   tile, *, dims, max_samples, win_z, iso255, map_ref=None,
-                  fmt="f32pair"):
+                  fmt="f32pair", win_y=WIN_Y):
     X, Y, Z = dims
     WIN_Z = win_z
     END = max_samples + 1  # one-past-last valid sample position index
@@ -66,9 +68,9 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
             # ``raycast_kernel.build_slab_pool`` — window rows live at
             # [oz & 7, oz & 7 + WIN_Z) of slot map_ref[0, oz >> 3]
             src = vol_ref.at[map_ref[0, oz >> 3], pl.ds(oz & 7, WIN_Z),
-                             pl.ds(oy, WIN_Y), :]
+                             pl.ds(oy, win_y), :]
         else:
-            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
         return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
 
     # state rows: 0-2 pos (at step t_prev), 3 s(t_prev), 4 found, 5 alive,
@@ -98,7 +100,7 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         cp.start()
         cp.wait()
         state[3:4, :] = tent_sample(slab[0], p0[0], p0[1], p0[2], oz0, oy0,
-                                    dims, WIN_Z, fmt=fmt)
+                                    dims, WIN_Z, fmt=fmt, win_y=win_y)
 
     cnt0 = s0bit  # samples completed so far; pending DMA lives in slot cnt&1
     t1 = jnp.where(nd0 > 0, nd0, END)
@@ -141,7 +143,7 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
         dma(slot, oz_c, oy_c).wait()
         s_n = tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims, WIN_Z,
-                          fmt=fmt)
+                          fmt=fmt, win_y=win_y)
 
         # issue the DMA for the next sampled step (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
@@ -180,15 +182,18 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
     out_ref[tile, 1:2, :] = state[6:7, :]   # t_hit
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
-def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4):
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z",
+                                              "win_y"))
+def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4,
+            win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
     # the iso march samples positions 0..max_samples, so the word table
     # carries max_samples + 2 entries (one-past for the dummy prefetch)
     assert words.shape == (n_tiles, max_samples + 2), words.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_iso_kernel, dims=dims,
-                               max_samples=max_samples, win_z=win_z)
+                               max_samples=max_samples, win_z=win_z,
+                               win_y=win_y)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
@@ -204,7 +209,7 @@ def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, dims[0]), jnp.float32),
+            pltpu.VMEM((2, win_z, win_y, dims[0]), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -212,9 +217,10 @@ def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4):
     return out[:, 0, :], out[:, 1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z"))
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z",
+                                              "win_y"))
 def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
-                   max_samples, win_z=4):
+                   max_samples, win_z=4, win_y=WIN_Y):
     """Compressed-domain iso launch: the volume operand is the sparse slab
     pool of ``raycast_kernel.build_slab_pool`` (pair16 words) + its SMEM
     slab map — no dense pair volume on device."""
@@ -227,7 +233,8 @@ def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
     assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
     assert slab_map.shape == (1, Z // 8), slab_map.shape
     kernel = functools.partial(_iso_kernel_pooled, dims=dims,
-                               max_samples=max_samples, win_z=win_z)
+                               max_samples=max_samples, win_z=win_z,
+                               win_y=win_y)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
@@ -245,7 +252,7 @@ def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, X // 2), jnp.int32),
+            pltpu.VMEM((2, win_z, win_y, X // 2), jnp.int32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -270,7 +277,8 @@ class IsosurfacePlan:
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
         self.win_z = None
-        shapes_ok = not (X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
+        self.win_y = WIN_Y
+        shapes_ok = not (X % 128 != 0 or Y % 8 != 0 or Y < 8 or Z < 4
                          or H % TILE_H != 0 or W % TILE_W != 0)
         if pooled and (X % 256 != 0 or Z % 8 != 0):
             shapes_ok = False
@@ -279,12 +287,23 @@ class IsosurfacePlan:
                                              self.dims, self.max_samples + 1)
             span_y, span_z = int(spans[0]), int(spans[1])
             wz = choose_win_z(span_z)
-            if wz is not None and span_y <= WIN_Y and Z >= wz:
+            # adaptive window height: halve the bytes per window DMA when
+            # every footprint fits 8 aligned rows (same policy as
+            # CompositingPlan.wy_for)
+            if span_y <= 8 and Y >= 8:
+                wy = 8
+            elif span_y <= WIN_Y and Y >= WIN_Y:
+                wy = WIN_Y
+            else:
+                wy = None
+            if wz is not None and wy is not None and Z >= wz:
                 self.win_z = wz
+                self.win_y = wy
                 self.mins = mins
                 self.span_x = int(spans[2])
                 self.words_dense = build_word_table(
-                    mins, self.dims, wz, n_steps=self.max_samples + 1)
+                    mins, self.dims, wz, n_steps=self.max_samples + 1,
+                    win_y=self.win_y)
         self.use_kernel = self.win_z is not None
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
@@ -300,7 +319,8 @@ class IsosurfacePlan:
                                 volume=volume,
                                 threshold=jnp.float32(iso_value * 255.0 - 1e-3),
                                 n_steps=self.max_samples + 1,
-                                span_x=self.span_x, mip8=mip8)
+                                span_x=self.span_x, mip8=mip8,
+                                win_y=self.win_y)
 
     def render(self, volume, iso_value=40.0 / 255.0, words=None):
         from ..isosurface import render_isosurface
@@ -315,7 +335,7 @@ class IsosurfacePlan:
         iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
         found_t, t_hit_t = _launch(self.rays_packed, words, volume, iso255,
                                    self.dims, self.max_samples,
-                                   win_z=self.win_z)
+                                   win_z=self.win_z, win_y=self.win_y)
         found = _untile(found_t, H, W) > 0.5
         t_hit = _untile(t_hit_t, H, W)
         return _shade(volume, self.entry_uv, self.direction, found, t_hit,
@@ -339,7 +359,8 @@ class IsosurfacePlan:
         iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
         found_t, t_hit_t = _launch_pooled(self.rays_packed, words, pool,
                                           slab_map, iso255, self.dims,
-                                          self.max_samples, win_z=self.win_z)
+                                          self.max_samples, win_z=self.win_z,
+                                          win_y=self.win_y)
         found = _untile(found_t, H, W) > 0.5
         t_hit = _untile(t_hit_t, H, W)
         spool, smap = shade_pool

@@ -53,7 +53,7 @@ T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
 
 
 def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
-                fmt="f32pair"):
+                fmt="f32pair", win_y=WIN_Y):
     """Trilinear sample of one pair-volume window for a 128-ray tile.
 
     ``slab_block`` is the (win_z, WIN_Y, ·) window whose origin is
@@ -78,7 +78,7 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
     at both faces (pair[X-1] self-pairs by construction).
     """
     X, Y, Z = dims
-    R = win_z * WIN_Y
+    R = win_z * win_y
     width = slab_block.shape[-1]  # X, X//2 (i32half) or 128 (narrow-x
     n_chunks = width // 128       # window, volume x of column 0 = ``xeff``)
     fX, fY, fZ = jnp.float32(X), jnp.float32(Y), jnp.float32(Z)
@@ -98,8 +98,8 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
     cz_b = jnp.broadcast_to(cz, (R, 128))
     cy_b = jnp.broadcast_to(cy, (R, 128))
     iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
-    iz_f = (iota // WIN_Y).astype(jnp.float32)
-    iy_f = (iota % WIN_Y).astype(jnp.float32)
+    iz_f = (iota // win_y).astype(jnp.float32)
+    iy_f = (iota % win_y).astype(jnp.float32)
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(iz_f - cz_b))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy_f - cy_b))
     w = wz * wy
@@ -146,39 +146,42 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
 
 
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples, win_z, group=1):
+                  dims, max_samples, win_z, group=1, win_y=WIN_Y):
     for tile in range(T_PER):
         if group == 1:
             _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                             sem, tile, dims=dims, max_samples=max_samples,
-                            win_z=win_z)
+                            win_z=win_z, win_y=win_y)
         else:
             _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
                                   state, sem, tile, dims=dims,
                                   max_samples=max_samples, win_z=win_z,
-                                  k=group)
+                                  k=group, win_y=win_y)
 
 
 def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
-                         state, sem, *, dims, max_samples, win_z, group=2):
+                         state, sem, *, dims, max_samples, win_z, group=2,
+                         win_y=WIN_Y):
     for tile in range(T_PER):
         _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
                               state, sem, tile, dims=dims,
                               max_samples=max_samples, win_z=win_z,
-                              xorg_ref=xorg_ref, k=group)
+                              xorg_ref=xorg_ref, k=group, win_y=win_y)
 
 
 def _march_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, out_ref, slab,
-                         state, sem, *, dims, max_samples, win_z, group=2):
+                         state, sem, *, dims, max_samples, win_z, group=2,
+                         win_y=WIN_Y):
     for tile in range(T_PER):
         _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
                               state, sem, tile, dims=dims,
                               max_samples=max_samples, win_z=win_z,
-                              map_ref=map_ref, fmt="i32half", k=group)
+                              map_ref=map_ref, fmt="i32half", k=group,
+                              win_y=win_y)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                    tile, *, dims, max_samples, win_z):
+                    tile, *, dims, max_samples, win_z, win_y=WIN_Y):
     X, Y, Z = dims
     WIN_Z = win_z
     END = max_samples  # one-past-last sampled position index
@@ -203,7 +206,7 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
     def dma(slot, oz, oy):
         return pltpu.make_async_copy(
-            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :],
+            vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :],
             slab.at[slot], sem.at[slot])
 
     # prologue: issue the DMA for the first sampled step (or a dummy fetch
@@ -248,7 +251,7 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
         dma(slot, oz_c, oy_c).wait()
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z) * (1.0 / 255.0)
+                          dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
 
         # issue the DMA for the next sampled step (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
@@ -282,7 +285,8 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
 def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                           sem, tile, *, dims, max_samples, win_z,
-                          xorg_ref=None, map_ref=None, fmt="f32pair", k=2):
+                          xorg_ref=None, map_ref=None, fmt="f32pair", k=2,
+                          win_y=WIN_Y):
     """``k`` march steps per DMA window: word ``p`` covers step indices
     ``k*p .. k*p + k - 1`` and its window is the union of all k footprints,
     so the loop runs 1/k the iterations and issues 1/k the DMAs of the
@@ -319,11 +323,11 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
             # 3D flattened pool: slot rows at [16*slot, 16*slot + SLAB_H)
             ms = map_ref[0, oz >> 3]
             src = vol_ref.at[pl.ds(ms * SLAB_H + (oz & 7), WIN_Z),
-                             pl.ds(oy, WIN_Y), :]
+                             pl.ds(oy, win_y), :]
         elif narrow:
-            src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+            src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
         else:
-            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
         return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
 
     def xword(t):
@@ -348,7 +352,8 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                   & (pz > 0.0) & (pz < 1.0))
         alive = (state[5:6, :] > 0.5) & inside
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z, xeff=xeff, fmt=fmt) * (1.0 / 255.0)
+                          dims, WIN_Z, xeff=xeff, fmt=fmt,
+                          win_y=win_y) * (1.0 / 255.0)
         prev_alpha = smp - smp * alpha
         color = jnp.where(alive, color + prev_alpha * smp, color)
         alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
@@ -488,9 +493,10 @@ def build_slab_pool(volume, mip8=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "max_samples", "win_z", "group"))
+                   static_argnames=("dims", "max_samples", "win_z", "group",
+                                    "win_y"))
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
-            group=1, xwords=None):
+            group=1, xwords=None, win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
     n_words = (max_samples // group) if group > 1 else (max_samples + 1)
     narrow = xwords is not None
@@ -505,7 +511,7 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         vol_pairs = pack_pairs_narrow(volume)
         kernel = functools.partial(_march_kernel_narrow, dims=dims,
                                    max_samples=max_samples, win_z=win_z,
-                                   group=group)
+                                   group=group, win_y=win_y)
         in_specs = [
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -518,7 +524,7 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         vol_pairs = pack_pairs(volume)
         kernel = functools.partial(_march_kernel, dims=dims,
                                    max_samples=max_samples,
-                                   win_z=win_z, group=group)
+                                   win_z=win_z, group=group, win_y=win_y)
         in_specs = [
             pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -535,7 +541,7 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, slab_w), jnp.float32),
+            pltpu.VMEM((2, win_z, win_y, slab_w), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -544,9 +550,10 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "max_samples", "win_z", "group"))
+                   static_argnames=("dims", "max_samples", "win_z", "group",
+                                    "win_y"))
 def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
-                   win_z=4, group=2):
+                   win_z=4, group=2, win_y=WIN_Y):
     """Compressed-domain launch: the volume operand is the sparse slab pool
     (``build_slab_pool``) plus its SMEM-resident slab map — no dense pair
     volume exists on device."""
@@ -562,7 +569,7 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(_march_kernel_pooled, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group)
+                               group=group, win_y=win_y)
     pool3 = pool.reshape(-1, Y, X // 2)  # 3D view: same-form DMA as dense
     out = pl.pallas_call(
         kernel,
@@ -579,7 +586,7 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, X // 2), jnp.int32),
+            pltpu.VMEM((2, win_z, win_y, X // 2), jnp.int32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -729,9 +736,10 @@ def occupancy_mip(volume, reach_x: int = 3):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "win_z", "n_steps", "span_x"))
+                   static_argnames=("dims", "win_z", "n_steps", "span_x",
+                                    "win_y"))
 def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
-                     n_steps=None, span_x=MIP_SPAN_X, mip8=None):
+                     n_steps=None, span_x=MIP_SPAN_X, mip8=None, win_y=WIN_Y):
     """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
     minor dim to 128 lanes so scalars must share a word):
 
@@ -747,7 +755,7 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
     skipped window cannot contain a crossing end (s2 >= iso needs a sample
     above the bound) — both skips are exact, not approximations."""
     X, Y, Z = dims
-    oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
+    oy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - win_y)
     oz = jnp.clip(mins[..., 1], 0, Z - win_z)
     T, S1 = oz.shape
     if volume is None and mip8 is None:
@@ -795,9 +803,10 @@ def pair_unions(mins, maxs, max_samples):
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "win_z", "max_samples", "span_x",
-                                    "k"))
+                                    "k", "win_y"))
 def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
-                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None, k=2):
+                           threshold=0.0, span_x=MIP_SPAN_X, mip8=None, k=2,
+                           win_y=WIN_Y):
     """Group-granularity control words for ``_march_one_tile_group`` (same
     packing as ``build_word_table``; nd counts *groups* of k steps).  Window
     origins come from the group-union footprint; the occupancy skip tests
@@ -808,7 +817,7 @@ def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
     X, Y, Z = dims
     P = max_samples // k
     pmn, _, _ = group_unions(mins, maxs, max_samples, k=k)
-    oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - WIN_Y)
+    oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - win_y)
     oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
     T = oz.shape[0]
     if volume is None and mip8 is None:
@@ -818,7 +827,7 @@ def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
         m = expand_mip(m8, reach_x=_reach_x(span_x),
                        reach_z=_reach_z(win_z))
         soz = jnp.clip(mins[..., 1], 0, Z - win_z)
-        soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - WIN_Y)
+        soy = jnp.clip((mins[..., 0] // 8) * 8, 0, Y - win_y)
         sox = jnp.clip(mins[..., 2], 0, X - 1)
         wmax = m[soz >> 3, soy >> 3, sox >> 3]
         s = wmax > threshold
@@ -901,14 +910,14 @@ F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
 C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
 
 
-def _group_cost(k: int, win_z: int) -> float:
+def _group_cost(k: int, win_z: int, win_y: int = WIN_Y) -> float:
     """Modeled cost per march step: the window-fixed share amortizes over the
-    k substeps, sampling scales with the window height (R = win_z * WIN_Y
-    rows enter the tent-weight build and the lane gather).  Constants from
-    the measured split in docs/PERF_NOTES.md (~0.42 us/window in pairs mode:
-    ~40% DMA issue/wait + ~27% loop/scalar fixed, ~33% sampling at
-    win_z 4-8)."""
-    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z
+    k substeps, sampling (and the window DMA bytes) scale with the window
+    area (R = win_z * win_y rows enter the tent-weight build, the lane
+    gather, and the DMA).  Constants from the measured split in
+    docs/PERF_NOTES.md (~0.42 us/window in pairs mode: ~40% DMA issue/wait +
+    ~27% loop/scalar fixed, ~33% sampling at win_z 4-8)."""
+    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z * (win_y / 16.0)
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
@@ -963,10 +972,11 @@ class CompositingPlan:
         H, W, _ = entry_uv.shape
         self.shape = (H, W)
         self.win_z = None
+        self.win_y = WIN_Y
         self.group = 1
         self.xwords = None
         shapes_ok = not (
-            X % 128 != 0 or Y % WIN_Y != 0 or Z < 4
+            X % 128 != 0 or Y % 8 != 0 or Y < 8 or Z < 4
             or H % TILE_H != 0 or W % TILE_W != 0
         )
         if pooled and (X % 256 != 0 or Z % 8 != 0):
@@ -979,31 +989,40 @@ class CompositingPlan:
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
             span_y, span_z = int(spans[0]), int(spans[1])
             wz_cap = POOL_WIN_Z_MAX if pooled else WIN_Z_GROUP_MAX
-            best = None  # (cost, k, win_z, group_span_x)
-            if not pooled and span_y <= WIN_Y and Z >= max(4, span_z):
+
+            def wy_for(sy):  # smallest window height covering the footprint
+                if sy <= 8 and Y % 8 == 0 and Y >= 8:
+                    return 8
+                return WIN_Y if (sy <= WIN_Y and Y >= WIN_Y) else None
+
+            best = None  # (cost, k, win_z, win_y, group_span_x)
+            wy1 = wy_for(span_y)
+            if not pooled and wy1 is not None and Z >= max(4, span_z):
                 wz = choose_win_z(span_z)
                 if wz is not None:
-                    best = (_group_cost(1, wz), 1, wz, None)
+                    best = (_group_cost(1, wz, wy1), 1, wz, wy1, None)
             for k in GROUP_KS:
                 if max_samples % k:
                     continue
                 _, _, gspans = group_unions(mins, maxs, max_samples, k=k)
                 gwz = choose_win_z(int(gspans[1]), cap=wz_cap)
-                if gwz is None or int(gspans[0]) > WIN_Y or Z < gwz:
+                gwy = wy_for(int(gspans[0]))
+                if gwz is None or gwy is None or Z < gwz:
                     continue
-                cost = _group_cost(k, gwz)
+                cost = _group_cost(k, gwz, gwy)
                 if best is None or cost < best[0]:
-                    best = (cost, k, gwz, int(gspans[2]))
+                    best = (cost, k, gwz, gwy, int(gspans[2]))
             if best is not None:
-                _, k, wz, gspan_x = best
+                _, k, wz, wy, gspan_x = best
                 self.group = k
                 self.win_z = wz
+                self.win_y = wy
                 if k == 1:
                     self.words_dense = build_word_table(
-                        mins, self.dims, wz, n_steps=max_samples)
+                        mins, self.dims, wz, n_steps=max_samples, win_y=wy)
                 else:
                     self.words_dense = build_word_table_group(
-                        mins, maxs, self.dims, wz, max_samples, k=k)
+                        mins, maxs, self.dims, wz, max_samples, k=k, win_y=wy)
                     if not pooled and gspan_x <= NARROW_SPAN_X:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples, k=k)
@@ -1028,11 +1047,12 @@ class CompositingPlan:
                                           self.win_z, self.max_samples,
                                           volume=volume, threshold=0.0,
                                           span_x=self.span_x, mip8=mip8,
-                                          k=self.group)
+                                          k=self.group, win_y=self.win_y)
         return build_word_table(self.mins, self.dims, self.win_z,
                                 volume=volume, threshold=0.0,
                                 n_steps=self.max_samples,
-                                span_x=self.span_x, mip8=mip8)
+                                span_x=self.span_x, mip8=mip8,
+                                win_y=self.win_y)
 
     def render(self, volume, words=None):
         """volume: (Z, Y, X) float32 in [0, 1].  Returns (rgb, alpha).
@@ -1047,7 +1067,8 @@ class CompositingPlan:
             words = self.words_dense
         color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z,
-                               group=self.group, xwords=self.xwords)
+                               group=self.group, xwords=self.xwords,
+                               win_y=self.win_y)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha
@@ -1063,7 +1084,8 @@ class CompositingPlan:
             words = self.words_dense
         color, alpha = _launch_pooled(self.rays_packed, words, pool, slab_map,
                                       self.dims, self.max_samples,
-                                      win_z=self.win_z, group=self.group)
+                                      win_z=self.win_z, group=self.group,
+                                      win_y=self.win_y)
         color = _untile(color, H, W)
         alpha = _untile(alpha, H, W)
         return apply_reference_transfer(color, alpha), alpha

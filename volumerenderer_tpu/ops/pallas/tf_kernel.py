@@ -52,15 +52,15 @@ __all__ = ["make_render_tf_kernel", "render_tf_grads_pallas"]
 
 
 def _tf_kernel(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
-               *, dims, max_samples, win_z, group):
+               *, dims, max_samples, win_z, group, win_y=WIN_Y):
     for tile in range(T_PER):
         _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab,
                      state, sem, tile, dims=dims, max_samples=max_samples,
-                     win_z=win_z, k=group)
+                     win_z=win_z, k=group, win_y=win_y)
 
 
 def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
-                 sem, tile, *, dims, max_samples, win_z, k):
+                 sem, tile, *, dims, max_samples, win_z, k, win_y=WIN_Y):
     """One 128-ray tile: the k-step-group march of
     ``raycast_kernel._march_one_tile_group`` with TF scalars from SMEM and
     five gradient accumulator rows.  State rows: 0-2 pos, 3 color, 4 alpha,
@@ -82,7 +82,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     state[6:11, :] = jnp.zeros((5, 128), jnp.float32)
 
     def dma(slot, oz, oy):
-        src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, WIN_Y), :]
+        src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
         return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
 
     w0 = org_ref[tile, 0]
@@ -103,7 +103,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
                   & (pz > 0.0) & (pz < 1.0))
         alive = (state[5:6, :] > 0.5) & inside
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z) * (1.0 / 255.0)
+                          dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
         sc = smp * G + B
         pa = smp - smp * alpha
         r = smp / jnp.maximum(1.0 - K * smp, 1e-12)
@@ -171,9 +171,10 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "max_samples", "win_z", "group"))
+                   static_argnames=("dims", "max_samples", "win_z", "group",
+                                    "win_y"))
 def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
-               win_z=4, group=2):
+               win_z=4, group=2, win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
     n_words = max_samples // group
     assert group > 1, group
@@ -182,7 +183,7 @@ def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_tf_kernel, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group)
+                               group=group, win_y=win_y)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // T_PER,),
@@ -198,7 +199,7 @@ def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, WIN_Y, dims[0]), jnp.float32),
+            pltpu.VMEM((2, win_z, win_y, dims[0]), jnp.float32),
             pltpu.VMEM((16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -217,7 +218,8 @@ def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,
     tf_scalars = jnp.stack([params.alpha_scale, params.color_gain,
                             params.color_bias]).reshape(1, 3)
     out = _launch_tf(plan.rays_packed, words, volume, tf_scalars, plan.dims,
-                     plan.max_samples, win_z=plan.win_z, group=plan.group)
+                     plan.max_samples, win_z=plan.win_z, group=plan.group,
+                     win_y=plan.win_y)
     rows = [_untile(out[:, i, :], H, W) for i in range(7)]
     color_T, alpha_T = rows[0], rows[1]
     rgb = params.flip_sign * color_T[..., None] + params.flip_bias
