@@ -618,8 +618,13 @@ def _untile(a, H, W):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
 def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     """Footprint prepass: per-(tile, step) window mins plus global max spans.
+
+    Jitted as ONE program: dispatched eagerly, the 300-step ``lax.scan``
+    round-trips the host per iteration — ~13 min/plan over the axon dev
+    tunnel vs ~1 s compiled (measured 2026-08-20).
     Pure camera math (no volume access).  Ray positions are accumulated
     incrementally (``pos += dir_step``), matching the kernel's recurrence
     bit-for-bit so the precomputed windows are exactly the ones the in-kernel
@@ -738,6 +743,9 @@ def occupancy_mip(volume, reach_x: int = 3):
 @functools.partial(jax.jit,
                    static_argnames=("dims", "win_z", "n_steps", "span_x",
                                     "win_y"))
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "win_z", "threshold", "n_steps",
+                                    "span_x", "win_y"))
 def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
                      n_steps=None, span_x=MIP_SPAN_X, mip8=None, win_y=WIN_Y):
     """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
