@@ -618,7 +618,6 @@ def _untile(a, H, W):
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
 def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     """Footprint prepass: per-(tile, step) window mins plus global max spans.
 
@@ -743,9 +742,6 @@ def occupancy_mip(volume, reach_x: int = 3):
 @functools.partial(jax.jit,
                    static_argnames=("dims", "win_z", "n_steps", "span_x",
                                     "win_y"))
-@functools.partial(jax.jit,
-                   static_argnames=("dims", "win_z", "threshold", "n_steps",
-                                    "span_x", "win_y"))
 def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
                      n_steps=None, span_x=MIP_SPAN_X, mip8=None, win_y=WIN_Y):
     """Pack the per-(tile, step) kernel control words (one i32, SMEM pads the
