@@ -50,15 +50,30 @@ def test_interpret_compositing_pairs_parity():
         _assert_parity(plan, vol, rays, 24)
 
 
-def test_interpret_compositing_dense_parity():
-    """Odd max_samples forces the per-step (non-pairs) kernel."""
+def test_interpret_compositing_dense_parity(monkeypatch):
+    """The per-step (k=1, non-pairs) kernel path (forced via GROUP_KS)."""
     vol = _volume()
     rays = _rays()
     Z, Y, X = vol.shape
+    monkeypatch.setattr(RK, "GROUP_KS", ())
     with pltpu.force_tpu_interpret_mode():
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=23)
         assert plan.use_kernel and not plan.pairs
+        _assert_parity(plan, vol, rays, 23)
+
+
+def test_interpret_partial_last_group_parity(monkeypatch):
+    """max_samples not divisible by k: the padded last group's trailing
+    substeps are masked, so outputs equal the dense march exactly."""
+    vol = _volume()
+    rays = _rays()
+    Z, Y, X = vol.shape
+    monkeypatch.setattr(RK, "GROUP_KS", (4,))
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=23)
+        assert plan.use_kernel and plan.group == 4
         _assert_parity(plan, vol, rays, 23)
 
 

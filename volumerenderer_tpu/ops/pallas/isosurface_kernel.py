@@ -29,30 +29,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import MAX_SAMPLES, phong
-from .raycast_kernel import (TILE_H, TILE_W, WIN_Y, _footprint_scan,
-                             _pack_rays, _untile, _unpack_word,
-                             build_word_table, choose_win_z, pack_pairs,
-                             tent_sample)
-
-T_PER = 8
+from .raycast_kernel import (T_PER, TILE_H, TILE_W, WIN_Y, _footprint_scan,
+                             _pack_rays, _t_per, _tile_loop, _untile,
+                             _unpack_word, build_word_table, choose_win_z,
+                             pack_pairs, tent_sample)
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
-                sem, *, dims, max_samples, win_z, win_y=WIN_Y):
-    for tile in range(T_PER):
-        _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                      tile, dims=dims, max_samples=max_samples, win_z=win_z,
-                      iso255=iso_ref[0, 0], win_y=win_y)
+                sem, *, dims, max_samples, win_z, win_y=WIN_Y, t_per=T_PER):
+    _tile_loop(lambda tile: _iso_one_tile(
+        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+        dims=dims, max_samples=max_samples, win_z=win_z,
+        iso255=iso_ref[0, 0], win_y=win_y), t_per)
 
 
 def _iso_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, iso_ref, out_ref,
                        slab, state, sem, *, dims, max_samples, win_z,
-                       win_y=WIN_Y):
-    for tile in range(T_PER):
-        _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
-                      tile, dims=dims, max_samples=max_samples, win_z=win_z,
-                      iso255=iso_ref[0, 0], map_ref=map_ref, fmt="i32half",
-                      win_y=win_y)
+                       win_y=WIN_Y, t_per=T_PER):
+    _tile_loop(lambda tile: _iso_one_tile(
+        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+        dims=dims, max_samples=max_samples, win_z=win_z,
+        iso255=iso_ref[0, 0], map_ref=map_ref, fmt="i32half",
+        win_y=win_y), t_per)
 
 
 def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -187,25 +185,26 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 def _launch(rays_packed, words, volume, iso255, dims, max_samples, win_z=4,
             win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
+    t_per = _t_per(n_tiles)
     # the iso march samples positions 0..max_samples, so the word table
     # carries max_samples + 2 entries (one-past for the dummy prefetch)
     assert words.shape == (n_tiles, max_samples + 2), words.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_iso_kernel, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               win_y=win_y)
+                               win_y=win_y, t_per=t_per)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles // T_PER,),
+        grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_PER, max_samples + 2), lambda i: (i, 0),
+            pl.BlockSpec((t_per, max_samples + 2), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
@@ -228,27 +227,28 @@ def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
 
     n_tiles = rays_packed.shape[0]
     X, Y, Z = dims
+    t_per = _t_per(n_tiles)
     assert win_z <= POOL_WIN_Z_MAX, win_z
     assert words.shape == (n_tiles, max_samples + 2), words.shape
     assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
     assert slab_map.shape == (1, Z // 8), slab_map.shape
     kernel = functools.partial(_iso_kernel_pooled, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               win_y=win_y)
+                               win_y=win_y, t_per=t_per)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles // T_PER,),
+        grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_PER, max_samples + 2), lambda i: (i, 0),
+            pl.BlockSpec((t_per, max_samples + 2), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[

@@ -49,7 +49,20 @@ WIN_Y = 16
 BIG = 1 << 20
 
 
-T_PER = 8  # tiles marched per grid program (amortizes ~50us program overhead)
+T_PER = 64  # max tiles marched per grid program.  Program entry/exit costs
+# ~12 us on this chip (measured: a 1024² frame whose word table skips every
+# window still took 12.6 ms at 8 tiles/program — docs/PERF_NOTES.md round-3
+# roofline), so the tile loop is a fori_loop (O(1) code size) and each
+# program serves many tiles.
+
+
+def _t_per(n_tiles: int) -> int:
+    """Largest divisor of ``n_tiles`` that is <= T_PER (grid programs must
+    tile the ray array exactly; small test images get small programs)."""
+    t = min(T_PER, n_tiles)
+    while n_tiles % t:
+        t -= 1
+    return t
 
 
 def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
@@ -145,39 +158,48 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
     return jnp.sum(w * v, axis=0, keepdims=True)
 
 
+def _tile_loop(body, t_per):
+    """Run ``body(tile)`` for the ``t_per`` tiles of one grid program as a
+    ``fori_loop`` with a *traced* tile index (all tile addressing is on
+    leading ref dims, which support dynamic starts) — O(1) code size, so
+    t_per can be large enough to amortize the per-program entry cost."""
+    def one(tile, carry):
+        body(tile)
+        return carry
+
+    jax.lax.fori_loop(0, t_per, one, jnp.int32(0))
+
+
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples, win_z, group=1, win_y=WIN_Y):
-    for tile in range(T_PER):
-        if group == 1:
-            _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state,
-                            sem, tile, dims=dims, max_samples=max_samples,
-                            win_z=win_z, win_y=win_y)
-        else:
-            _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
-                                  state, sem, tile, dims=dims,
-                                  max_samples=max_samples, win_z=win_z,
-                                  k=group, win_y=win_y)
+                  dims, max_samples, win_z, group=1, win_y=WIN_Y, t_per=T_PER):
+    if group == 1:
+        _tile_loop(lambda tile: _march_one_tile(
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+            dims=dims, max_samples=max_samples, win_z=win_z, win_y=win_y),
+            t_per)
+    else:
+        _tile_loop(lambda tile: _march_one_tile_group(
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+            dims=dims, max_samples=max_samples, win_z=win_z, k=group,
+            win_y=win_y), t_per)
 
 
 def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
                          state, sem, *, dims, max_samples, win_z, group=2,
-                         win_y=WIN_Y):
-    for tile in range(T_PER):
-        _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
-                              state, sem, tile, dims=dims,
-                              max_samples=max_samples, win_z=win_z,
-                              xorg_ref=xorg_ref, k=group, win_y=win_y)
+                         win_y=WIN_Y, t_per=T_PER):
+    _tile_loop(lambda tile: _march_one_tile_group(
+        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+        dims=dims, max_samples=max_samples, win_z=win_z, xorg_ref=xorg_ref,
+        k=group, win_y=win_y), t_per)
 
 
 def _march_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, out_ref, slab,
                          state, sem, *, dims, max_samples, win_z, group=2,
-                         win_y=WIN_Y):
-    for tile in range(T_PER):
-        _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
-                              state, sem, tile, dims=dims,
-                              max_samples=max_samples, win_z=win_z,
-                              map_ref=map_ref, fmt="i32half", k=group,
-                              win_y=win_y)
+                         win_y=WIN_Y, t_per=T_PER):
+    _tile_loop(lambda tile: _march_one_tile_group(
+        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+        dims=dims, max_samples=max_samples, win_z=win_z, map_ref=map_ref,
+        fmt="i32half", k=group, win_y=win_y), t_per)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -293,7 +315,7 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     per-step kernel (window bytes grow by the extra union height).  Position
     advance is still exactly ``pos += d`` once per step (gap runs replay the
     skipped steps one at a time), so samples and composites are bit-identical
-    to the dense march.  Requires ``max_samples % k == 0``.
+    to the dense march.
 
     With ``xorg_ref`` (narrow-x mode) the volume is the chunked dual-copy
     layout of ``pack_pairs_narrow`` and each window DMA moves one 128-lane
@@ -303,10 +325,14 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     With ``map_ref`` (pooled mode, ``fmt="i32half"``) the volume is the
     sparse slab pool of ``build_slab_pool``: each window DMA reads rows
     ``[oz & 7, oz & 7 + win_z)`` of slot ``map_ref[0, oz >> 3]`` — the
-    HBM-resident render state is only the occupied slabs."""
+    HBM-resident render state is only the occupied slabs.
+
+    ``max_samples`` need not divide by ``k``: the last group is partial and
+    its trailing substeps (step index >= max_samples) are masked out of the
+    composite, so outputs equal the dense march exactly."""
     X, Y, Z = dims
     WIN_Z = win_z
-    END = max_samples // k  # one-past-last group index
+    END = -(-max_samples // k)  # one-past-last group index (ceil)
     narrow = xorg_ref is not None
     pooled = map_ref is not None
 
@@ -342,7 +368,7 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     _, ozp, oyp, _ = _unpack_word(pend0)
     dma(0, ozp, oyp, pendx0).start()
 
-    def substep(slot, oz_c, oy_c, xeff):
+    def substep(slot, oz_c, oy_c, xeff, step_ok):
         px = state[0:1, :]
         py = state[1:2, :]
         pz = state[2:3, :]
@@ -350,7 +376,7 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         alpha = state[4:5, :]
         inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
                   & (pz > 0.0) & (pz < 1.0))
-        alive = (state[5:6, :] > 0.5) & inside
+        alive = (state[5:6, :] > 0.5) & inside & step_ok
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
                           dims, WIN_Z, xeff=xeff, fmt=fmt,
                           win_y=win_y) * (1.0 / 255.0)
@@ -382,7 +408,9 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                            jnp.int32(0))
 
         dma(slot, oz_c, oy_c, pendx).wait()
-        substep(slot, oz_c, oy_c, xeff)
+        # a partial last group's trailing substeps never composite (exactly
+        # the dense march, which stops at max_samples)
+        substep(slot, oz_c, oy_c, xeff, k * t_cur < max_samples)
 
         # issue the DMA for the next sampled group (or a dummy re-fetch)
         t_next = jnp.where(nd > 0, t_cur + nd, END)
@@ -394,11 +422,12 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
         # remaining k-1 steps of the group from the same window
         any_alive = jnp.bool_(True)
-        for _ in range(k - 1):
+        for j in range(1, k):
             state[0:1, :] = state[0:1, :] + d[0]
             state[1:2, :] = state[1:2, :] + d[1]
             state[2:3, :] = state[2:3, :] + d[2]
-            any_alive = substep(slot, oz_c, oy_c, xeff)
+            any_alive = substep(slot, oz_c, oy_c, xeff,
+                                k * t_cur + j < max_samples)
         return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next, x_next
 
     def cond(carry):
@@ -498,22 +527,22 @@ def build_slab_pool(volume, mip8=None):
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
             group=1, xwords=None, win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
-    n_words = (max_samples // group) if group > 1 else (max_samples + 1)
+    n_words = (-(-max_samples // group)) if group > 1 else (max_samples + 1)
     narrow = xwords is not None
-    assert n_tiles % T_PER == 0, (n_tiles, T_PER)
+    t_per = _t_per(n_tiles)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert not narrow or group > 1
     if narrow:
-        assert xwords.shape == (n_tiles, max_samples // group), xwords.shape
-    word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
+        assert xwords.shape == (n_tiles, -(-max_samples // group)), xwords.shape
+    word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
     if narrow:
         vol_pairs = pack_pairs_narrow(volume)
         kernel = functools.partial(_march_kernel_narrow, dims=dims,
                                    max_samples=max_samples, win_z=win_z,
-                                   group=group, win_y=win_y)
+                                   group=group, win_y=win_y, t_per=t_per)
         in_specs = [
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             word_spec, word_spec,
             pl.BlockSpec(memory_space=pl.ANY),
@@ -524,9 +553,10 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         vol_pairs = pack_pairs(volume)
         kernel = functools.partial(_march_kernel, dims=dims,
                                    max_samples=max_samples,
-                                   win_z=win_z, group=group, win_y=win_y)
+                                   win_z=win_z, group=group, win_y=win_y,
+                                   t_per=t_per)
         in_specs = [
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             word_spec,
             pl.BlockSpec(memory_space=pl.ANY),
@@ -535,9 +565,9 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         slab_w = dims[0]
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles // T_PER,),
+        grid=(n_tiles // t_per,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
@@ -559,30 +589,30 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
     volume exists on device."""
     n_tiles = rays_packed.shape[0]
     X, Y, Z = dims
-    n_words = max_samples // group
+    n_words = -(-max_samples // group)
+    t_per = _t_per(n_tiles)
     assert group > 1 and win_z <= POOL_WIN_Z_MAX, (group, win_z)
-    assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
     assert slab_map.shape == (1, Z // 8), slab_map.shape
-    word_spec = pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
+    word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(_march_kernel_pooled, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group, win_y=win_y)
+                               group=group, win_y=win_y, t_per=t_per)
     pool3 = pool.reshape(-1, Y, X // 2)  # 3D view: same-form DMA as dense
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles // T_PER,),
+        grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             word_spec,
             pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
@@ -787,12 +817,22 @@ def build_word_table(mins, dims, win_z, volume=None, threshold=0.0,
 def group_unions(mins, maxs, max_samples, k=2):
     """Group ``p`` = step indices (k*p .. k*p + k - 1): union footprint mins
     and the global worst-case group spans.  Empty steps carry ±BIG sentinels,
-    which the min/max unions absorb.  Returns (group mins (T, P, 3) [y, z, x],
+    which the min/max unions absorb.  ``max_samples`` need not divide by
+    ``k``: the last group is padded with sentinels (the kernel masks the
+    trailing substeps).  Returns (group mins (T, P, 3) [y, z, x],
     group maxs (T, P, 3), spans (3,) i32 [span_y_aligned, span_z, span_x])."""
-    P = max_samples // k
+    P = -(-max_samples // k)
     T = mins.shape[0]
-    mn = mins[:, :k * P].reshape(T, P, k, 3).min(axis=2)
-    mx = maxs[:, :k * P].reshape(T, P, k, 3).max(axis=2)
+    pad = k * P - max_samples
+    mn_in = mins[:, :max_samples]
+    mx_in = maxs[:, :max_samples]
+    if pad:
+        mn_in = jnp.concatenate(
+            [mn_in, jnp.full((T, pad, 3), BIG, mins.dtype)], axis=1)
+        mx_in = jnp.concatenate(
+            [mx_in, jnp.full((T, pad, 3), -BIG, maxs.dtype)], axis=1)
+    mn = mn_in.reshape(T, P, k, 3).min(axis=2)
+    mx = mx_in.reshape(T, P, k, 3).max(axis=2)
     any_in = mx[..., 0] >= mn[..., 0]
     span_y = jnp.where(any_in, mx[..., 0] - (mn[..., 0] // 8) * 8 + 1, 0)
     span_z = jnp.where(any_in, mx[..., 1] - mn[..., 1] + 1, 0)
@@ -819,7 +859,7 @@ def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
     — a skipped group's composite is exactly a no-op, so skipping stays
     exact."""
     X, Y, Z = dims
-    P = max_samples // k
+    P = -(-max_samples // k)
     pmn, _, _ = group_unions(mins, maxs, max_samples, k=k)
     oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - win_y)
     oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
@@ -835,7 +875,11 @@ def build_word_table_group(mins, maxs, dims, win_z, max_samples, volume=None,
         sox = jnp.clip(mins[..., 2], 0, X - 1)
         wmax = m[soz >> 3, soy >> 3, sox >> 3]
         s = wmax > threshold
-        sampled = s[:, :k * P].reshape(T, P, k).any(axis=2)
+        s = s[:, :max_samples]
+        if k * P > max_samples:  # padded tail steps are never sampled
+            s = jnp.concatenate(
+                [s, jnp.zeros((T, k * P - max_samples), bool)], axis=1)
+        sampled = s.reshape(T, P, k).any(axis=2)
     idx = jnp.arange(P, dtype=jnp.int32)
     nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
     nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
@@ -908,8 +952,8 @@ def choose_win_z(span_z: int, cap: int = WIN_Z_MAX) -> int | None:
     return max(4, span_z)
 
 
-GROUP_KS = (8, 4, 2)      # candidate steps-per-window (besides 1)
-WIN_Z_GROUP_MAX = 16      # group windows may be taller than per-step ones
+GROUP_KS = (16, 8, 4, 2)  # candidate steps-per-window (besides 1)
+WIN_Z_GROUP_MAX = 24      # group windows may be taller than per-step ones
 F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
 C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
 
@@ -1006,8 +1050,6 @@ class CompositingPlan:
                 if wz is not None:
                     best = (_group_cost(1, wz, wy1), 1, wz, wy1, None)
             for k in GROUP_KS:
-                if max_samples % k:
-                    continue
                 _, _, gspans = group_unions(mins, maxs, max_samples, k=k)
                 gwz = choose_win_z(int(gspans[1]), cap=wz_cap)
                 gwy = wy_for(int(gspans[0]))

@@ -45,18 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...diff.transfer import TFParams
 from ..raycast import EARLY_OUT_ALPHA
-from .raycast_kernel import (T_PER, WIN_Y, CompositingPlan, _unpack_word,
-                             _untile, pack_pairs, tent_sample)
+from .raycast_kernel import (T_PER, WIN_Y, CompositingPlan, _t_per,
+                             _tile_loop, _unpack_word, _untile, pack_pairs,
+                             tent_sample)
 
 __all__ = ["make_render_tf_kernel", "render_tf_grads_pallas"]
 
 
 def _tf_kernel(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
-               *, dims, max_samples, win_z, group, win_y=WIN_Y):
-    for tile in range(T_PER):
-        _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab,
-                     state, sem, tile, dims=dims, max_samples=max_samples,
-                     win_z=win_z, k=group, win_y=win_y)
+               *, dims, max_samples, win_z, group, win_y=WIN_Y, t_per=T_PER):
+    _tile_loop(lambda tile: _tf_one_tile(
+        rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem, tile,
+        dims=dims, max_samples=max_samples, win_z=win_z, k=group,
+        win_y=win_y), t_per)
 
 
 def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
@@ -67,7 +68,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     5 alive, 6 R, 7 P, 8 QP, 9 SG, 10 SB."""
     X, Y, Z = dims
     WIN_Z = win_z
-    END = max_samples // k
+    END = -(-max_samples // k)  # ceil: last group may be partial (masked)
     K = tf_ref[0, 0]
     G = tf_ref[0, 1]
     B = tf_ref[0, 2]
@@ -93,7 +94,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     _, ozp, oyp, _ = _unpack_word(pend0)
     dma(0, ozp, oyp).start()
 
-    def substep(slot, oz_c, oy_c):
+    def substep(slot, oz_c, oy_c, step_ok):
         px = state[0:1, :]
         py = state[1:2, :]
         pz = state[2:3, :]
@@ -101,7 +102,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         alpha = state[4:5, :]
         inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
                   & (pz > 0.0) & (pz < 1.0))
-        alive = (state[5:6, :] > 0.5) & inside
+        alive = (state[5:6, :] > 0.5) & inside & step_ok
         smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
                           dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
         sc = smp * G + B
@@ -140,7 +141,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
                            jnp.int32(0))
 
         dma(slot, oz_c, oy_c).wait()
-        substep(slot, oz_c, oy_c)
+        substep(slot, oz_c, oy_c, k * t_cur < max_samples)
 
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
@@ -149,11 +150,11 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
 
         any_alive = jnp.bool_(True)
-        for _ in range(k - 1):
+        for j in range(1, k):
             state[0:1, :] = state[0:1, :] + d[0]
             state[1:2, :] = state[1:2, :] + d[1]
             state[2:3, :] = state[2:3, :] + d[2]
-            any_alive = substep(slot, oz_c, oy_c)
+            any_alive = substep(slot, oz_c, oy_c, k * t_cur + j < max_samples)
         return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next
 
     def cond(carry):
@@ -176,26 +177,26 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
 def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
                win_z=4, group=2, win_y=WIN_Y):
     n_tiles = rays_packed.shape[0]
-    n_words = max_samples // group
+    n_words = -(-max_samples // group)
+    t_per = _t_per(n_tiles)
     assert group > 1, group
-    assert n_tiles % T_PER == 0, (n_tiles, T_PER)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_tf_kernel, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group, win_y=win_y)
+                               group=group, win_y=win_y, t_per=t_per)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles // T_PER,),
+        grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_PER, n_words), lambda i: (i, 0),
+            pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((T_PER, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
