@@ -1,0 +1,111 @@
+"""The Pallas kernels composed with shard_map (parallel/kernel_sharded.py):
+image row blocks (tiles) sharded over a CPU device mesh, the kernel running
+in interpret mode inside the shard_map body — VERDICT round 2 "Next" #3
+("make the sharded paths launch the Pallas march, and tf_kernel for
+gradients, per shard").
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh
+
+from volumerenderer_tpu import Camera, generate_rays, as_normalized_volume
+from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
+from volumerenderer_tpu.ops.raycast import render_compositing
+from volumerenderer_tpu.parallel.kernel_sharded import (
+    plan_shardable, render_planned_sharded, tf_fit_step_kernel)
+
+VOL_SHAPE = (8, 16, 128)  # (Z, Y, X)
+
+
+def _volume():
+    rng = np.random.default_rng(7)
+    v = rng.random(VOL_SHAPE).astype(np.float32)
+    # 8-bit sample grid so jnp/kernel agree exactly
+    return as_normalized_volume(np.round(v * 255.0).astype(np.uint8))
+
+
+def _rays():
+    return generate_rays(Camera(width=64, height=32))
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), axis_names=("rays",))
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_sharded_render_parity(n):
+    """Tile-sharded kernel render == single-device kernel == jnp renderer."""
+    vol = _volume()
+    rays = _rays()
+    Z, Y, X = vol.shape
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel
+        assert plan_shardable(plan, n)
+        rgb_s, a_s = render_planned_sharded(_mesh(n), plan, vol)
+        rgb_1, a_1 = plan.render(vol)
+    rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction,
+                                    rays.hit, max_samples=24)
+    np.testing.assert_array_equal(np.asarray(rgb_s), np.asarray(rgb_1))
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_1))
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_r), atol=1e-5)
+
+
+def test_sharded_render_with_occupancy_words(n=4):
+    """Sharding composes with the occupancy word table (bind): skipped
+    windows stay exact no-ops per shard."""
+    vol = _volume()
+    # zero a z-slab so occupancy skipping has something to skip
+    vol = vol.at[0:4].set(0.0)
+    rays = _rays()
+    Z, Y, X = vol.shape
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel
+        words = plan.bind(volume=vol)
+        rgb_s, a_s = render_planned_sharded(_mesh(n), plan, vol, words=words)
+        rgb_1, a_1 = plan.render(vol, words=words)
+    np.testing.assert_array_equal(np.asarray(rgb_s), np.asarray(rgb_1))
+    np.testing.assert_array_equal(np.asarray(a_s), np.asarray(a_1))
+
+
+def test_sharded_tf_fit_step_matches_single_device(n=4):
+    """tf_fit_step_kernel (per-shard forward+backward TF kernel + psum) ==
+    the single-device kernel fit step (tf_fit_step_fast) exactly: same
+    params update, same loss."""
+    from volumerenderer_tpu.diff.transfer import TFParams
+    from volumerenderer_tpu.ops.pallas.tf_kernel import (
+        make_render_tf_kernel, tf_fit_step_fast)
+
+    vol = _volume()
+    rays = _rays()
+    Z, Y, X = vol.shape
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random(rays.entry_uv.shape[:-1] + (3,)),
+                         jnp.float32)
+    params = TFParams(alpha_scale=jnp.float32(0.45),
+                      color_gain=jnp.float32(0.9),
+                      color_bias=jnp.float32(0.05),
+                      flip_sign=jnp.array([-0.8, 0.6, 0.3], jnp.float32),
+                      flip_bias=jnp.array([0.9, 0.2, 0.4], jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        new_s, loss_s = tf_fit_step_kernel(_mesh(n), plan, params, vol,
+                                           target, lr=1e-2)
+        f = make_render_tf_kernel(plan)
+        new_1, loss_1 = tf_fit_step_fast(f, params, vol, target, lr=1e-2)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-6)
+    for name in TFParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_s, name)),
+            np.asarray(getattr(new_1, name)), rtol=1e-5, atol=1e-7,
+            err_msg=name)
