@@ -2,14 +2,20 @@
 compositing renders of a 256^3 volume (BASELINE.json "metric").
 
 Protocol: a 16-frame orbit sequence (camera azimuth sweep, plan-once /
-render-many) is enqueued back-to-back and forced ONCE by an on-device
-reduction plus a 4-byte host transfer — the direct analogue of the
-reference's 500-frame "LOOP" timing window (``main.cpp:373-411``,
-``DebugTimer.cpp:20-27``), which also amortizes submission cost across an
-interactive orbit.  (On this dev tunnel a blocking round trip costs ~32 ms
-and ``block_until_ready`` does not block, so per-frame synchronization would
-measure the tunnel, not the chip; single-frame latency incl. the dispatch
-floor is recorded in docs/PERF_NOTES.md.)
+render-many) is compiled as ONE jit program (plan arrays passed as
+device-resident arguments) and timed over whole sweeps — the direct
+analogue of the reference's 500-frame "LOOP" timing window
+(``main.cpp:373-411``, ``DebugTimer.cpp:20-27``).  One program per sweep
+matters on this dev tunnel: each dispatched executable costs ~2.9 ms of
+host->device RPC (measured, docs/PERF_NOTES.md round 3), so per-frame
+dispatch would measure the tunnel, not the chip; production hosts dispatch
+in microseconds, and the single-program sweep is what a real interactive
+loop compiles to anyway.
+
+Also reports (one JSON line each, before the headline): the isosurface
+march+shade path and the compressed-domain pooled path at the same config
+(VERDICT round 2 "Next" #7).  The headline compositing line is printed
+LAST.
 
 ``vs_baseline`` is reported against a nominal 1e8 rays/s target — the
 reference publishes no numbers (SURVEY.md §6, BASELINE.json "published": {}).
@@ -20,10 +26,12 @@ import json
 import math
 import time
 
+import jax
 import jax.numpy as jnp
 
 NOMINAL_BASELINE_RAYS_PER_S = 1.0e8
 N_FRAMES = 16
+W = H = 1024
 
 
 def orbit_camera(az_deg: float, width: int, height: int):
@@ -37,44 +45,125 @@ def orbit_camera(az_deg: float, width: int, height: int):
     return Camera(width=width, height=height, position=pos, front=front)
 
 
+def _time_sweep(sweep_fn, *args, reps: int = 3):
+    """min over ``reps`` of one forced sweep (seconds per frame)."""
+    float(sweep_fn(*args))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(sweep_fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times) / N_FRAMES
+
+
+def _emit(metric, rays_per_s):
+    print(json.dumps({
+        "metric": metric,
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / NOMINAL_BASELINE_RAYS_PER_S,
+    }), flush=True)
+
+
+def bench_isosurface(vol, plans_iso):
+    from volumerenderer_tpu.ops.pallas import isosurface_kernel as IK
+
+    words = [p.bind(vol) for p in plans_iso]
+    # plan arrays ride as ARGUMENTS (device-resident) — captured constants
+    # would blow the remote-compile request past the tunnel's size limit
+    packs = [(p.rays_packed, w, p.entry_uv, p.direction)
+             for p, w in zip(plans_iso, words)]
+
+    @jax.jit
+    def sweep(vol, packs):
+        acc = jnp.float32(0)
+        iso255 = jnp.full((1, 1), 40.0, jnp.float32)
+        for (rp, wd, euv, dirn), p in zip(packs, plans_iso):
+            found_t, t_hit_t = IK._launch(rp, wd, vol, iso255, p.dims,
+                                          p.max_samples, win_z=p.win_z,
+                                          win_y=p.win_y)
+            found = IK._untile(found_t, H, W) > 0.5
+            t_hit = IK._untile(t_hit_t, H, W)
+            rgb, _ = IK._shade(vol, euv, dirn, found, t_hit,
+                               40.0 / 255.0, p.dims)
+            acc = acc + jnp.sum(rgb)
+        return acc
+
+    dt = _time_sweep(sweep, vol, packs)
+    _emit("iso_rays_per_s_per_chip_1024sq_256cube", W * H / dt)
+
+
+def bench_pooled(vol, plans_pooled):
+    from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
+    from volumerenderer_tpu.ops.raycast import apply_reference_transfer
+
+    pool, smap = RK.build_slab_pool(vol)
+    packs = [(p.rays_packed, p.words_dense) for p in plans_pooled]
+
+    @jax.jit
+    def sweep(pool, smap, packs):
+        acc = jnp.float32(0)
+        for (rp, wd), p in zip(packs, plans_pooled):
+            c, a = RK._launch_pooled(rp, wd, pool, smap, p.dims,
+                                     p.max_samples, win_z=p.win_z,
+                                     group=p.group, win_y=p.win_y,
+                                     lanes=p.lanes)
+            rgb = apply_reference_transfer(RK._untile(c, H, W, p.lanes),
+                                           RK._untile(a, H, W, p.lanes))
+            acc = acc + jnp.sum(rgb)
+        return acc
+
+    dt = _time_sweep(sweep, pool, smap, packs)
+    _emit("pooled_rays_per_s_per_chip_1024sq_256cube", W * H / dt)
+
+
 def main():
     from volumerenderer_tpu import generate_rays, as_normalized_volume
     from volumerenderer_tpu.io.synthetic import turbulence_volume
     from volumerenderer_tpu.models import plan_compositing
+    from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import IsosurfacePlan
+    from volumerenderer_tpu.ops.raycast import apply_reference_transfer
 
-    W = H = 1024
     vol = as_normalized_volume(turbulence_volume((256, 256, 256), seed=0))
     Z, Y, X = vol.shape
 
-    plans = []
+    plans, plans_iso, plans_pooled = [], [], []
     for i in range(N_FRAMES):
         rays = generate_rays(orbit_camera(2.0 * i, W, H))
-        plan = plan_compositing(rays.entry_uv, rays.direction, rays.hit,
-                                (X, Y, Z))
-        plans.append(plan)
+        plans.append(plan_compositing(rays.entry_uv, rays.direction,
+                                      rays.hit, (X, Y, Z)))
+        plans_iso.append(IsosurfacePlan(rays.entry_uv, rays.direction,
+                                        rays.hit, (X, Y, Z)))
+        plans_pooled.append(RK.CompositingPlan(rays.entry_uv, rays.direction,
+                                               rays.hit, (X, Y, Z),
+                                               pooled=True))
 
-    def sequence():
-        s = jnp.float32(0)
-        for p in plans:
-            rgb, alpha = p.render(vol)
-            s = s + jnp.sum(rgb)
-        return float(s)  # one on-device reduce + 4-byte transfer per sweep
+    try:
+        bench_isosurface(vol, plans_iso)
+    except Exception as e:  # secondary metrics must not sink the headline
+        print(f"# isosurface bench failed: {e!r}", flush=True)
+    try:
+        bench_pooled(vol, plans_pooled)
+    except Exception as e:
+        print(f"# pooled bench failed: {e!r}", flush=True)
 
-    sequence()  # warmup / compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sequence()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    packs = [(p.rays_packed, p.words_dense, p.xwords) for p in plans]
 
-    rays_per_s = N_FRAMES * W * H / dt
-    print(json.dumps({
-        "metric": "rays_per_s_per_chip_1024sq_256cube",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": rays_per_s / NOMINAL_BASELINE_RAYS_PER_S,
-    }))
+    @jax.jit
+    def sweep(vol, packs):
+        acc = jnp.float32(0)
+        for (rp, wd, xw), p in zip(packs, plans):
+            c, a = RK._launch(rp, wd, vol, p.dims, p.max_samples,
+                              win_z=p.win_z, group=p.group, xwords=xw,
+                              win_y=p.win_y, lanes=p.lanes)
+            rgb = apply_reference_transfer(RK._untile(c, H, W, p.lanes),
+                                           RK._untile(a, H, W, p.lanes))
+            acc = acc + jnp.sum(rgb)
+        return acc
+
+    dt = _time_sweep(sweep, vol, packs)
+    _emit("rays_per_s_per_chip_1024sq_256cube", W * H / dt)
 
 
 if __name__ == "__main__":

@@ -97,7 +97,7 @@ def test_sharded_tf_fit_step_matches_single_device(n=4):
                       flip_bias=jnp.array([0.9, 0.2, 0.4], jnp.float32))
     with pltpu.force_tpu_interpret_mode():
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24)
+                                  (X, Y, Z), max_samples=24, lane_groups=1)
         assert plan.use_kernel and plan.group > 1
         new_s, loss_s = tf_fit_step_kernel(_mesh(n), plan, params, vol,
                                            target, lr=1e-2)

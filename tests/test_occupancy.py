@@ -303,4 +303,6 @@ def test_cross_plan_bind_one_process():
     assert cp.use_kernel and ip.use_kernel
     wc = cp.bind(volume=vol)
     wi = ip.bind(volume=vol, iso_value=40.0 / 255.0)
-    assert wc.shape[0] == wi.shape[0]
+    # compositing tiles hold cp.lanes vregs of 128 rays; iso tiles hold one —
+    # the total 128-ray group count must agree
+    assert wc.shape[0] * cp.lanes == wi.shape[0]

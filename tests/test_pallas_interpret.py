@@ -312,7 +312,7 @@ def test_interpret_tf_kernel_forward_and_grads():
 
     with pltpu.force_tpu_interpret_mode():
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24)
+                                  (X, Y, Z), max_samples=24, lane_groups=1)
         assert plan.use_kernel and plan.group > 1
         f = make_render_tf_kernel(plan)
 

@@ -171,35 +171,137 @@ def _tile_loop(body, t_per):
 
 
 def _march_kernel(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, *,
-                  dims, max_samples, win_z, group=1, win_y=WIN_Y, t_per=T_PER):
+                  dims, max_samples, win_z, group=1, win_y=WIN_Y, t_per=T_PER,
+                  G=1):
     if group == 1:
+        assert G == 1, "per-step kernel supports a single lane group"
         _tile_loop(lambda tile: _march_one_tile(
             rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
             dims=dims, max_samples=max_samples, win_z=win_z, win_y=win_y),
             t_per)
     else:
-        _tile_loop(lambda tile: _march_one_tile_group(
-            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+        _march_tiles_group(
+            rays_ref, org_ref, None, None, vol_ref, out_ref, slab, state, sem,
             dims=dims, max_samples=max_samples, win_z=win_z, k=group,
-            win_y=win_y), t_per)
+            win_y=win_y, t_per=t_per, G=G)
 
 
 def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
                          state, sem, *, dims, max_samples, win_z, group=2,
-                         win_y=WIN_Y, t_per=T_PER):
-    _tile_loop(lambda tile: _march_one_tile_group(
-        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
-        dims=dims, max_samples=max_samples, win_z=win_z, xorg_ref=xorg_ref,
-        k=group, win_y=win_y), t_per)
+                         win_y=WIN_Y, t_per=T_PER, G=1):
+    _march_tiles_group(
+        rays_ref, org_ref, xorg_ref, None, vol_ref, out_ref, slab, state, sem,
+        dims=dims, max_samples=max_samples, win_z=win_z, k=group,
+        win_y=win_y, t_per=t_per, G=G)
 
 
 def _march_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, out_ref, slab,
                          state, sem, *, dims, max_samples, win_z, group=2,
-                         win_y=WIN_Y, t_per=T_PER):
-    _tile_loop(lambda tile: _march_one_tile_group(
-        rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
-        dims=dims, max_samples=max_samples, win_z=win_z, map_ref=map_ref,
-        fmt="i32half", k=group, win_y=win_y), t_per)
+                         win_y=WIN_Y, t_per=T_PER, G=1):
+    _march_tiles_group(
+        rays_ref, org_ref, None, map_ref, vol_ref, out_ref, slab, state, sem,
+        dims=dims, max_samples=max_samples, win_z=win_z, fmt="i32half",
+        k=group, win_y=win_y, t_per=t_per, G=G)
+
+
+def _window_dma(vol_ref, slab, sem, map_ref, narrow, win_z, win_y):
+    """Window-DMA descriptor factory shared by the group kernels: one
+    static-shape async copy per (slot, origin).  The same factory builds
+    shape-only descriptors (origin 0) for WAITS — a TPU DMA wait blocks on
+    the slot's semaphore for the copy's byte count, which depends only on the
+    static window shape, so the waiting descriptor's origin is irrelevant."""
+    pooled = map_ref is not None
+
+    def dma(slot, oz, oy, xw):
+        if pooled:
+            # 3D flattened pool: slot rows at [16*slot, 16*slot + SLAB_H)
+            ms = map_ref[0, oz >> 3]
+            src = vol_ref.at[pl.ds(ms * SLAB_H + (oz & 7), win_z),
+                             pl.ds(oy, win_y), :]
+        elif narrow:
+            src = vol_ref.at[xw >> 16, pl.ds(oz, win_z), pl.ds(oy, win_y), :]
+        else:
+            src = vol_ref.at[pl.ds(oz, win_z), pl.ds(oy, win_y), :]
+        return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
+
+    return dma
+
+
+def _first_group(org_ref, tile, END):
+    """Index of a tile's first sampled group (END = tile has none)."""
+    w0 = org_ref[tile, 0]
+    nd0, _, _, s0bit = _unpack_word(w0)
+    return jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
+
+
+def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn):
+    """Run ``tile_fn(tile, mask) -> mask`` for all ``t_per`` tiles of one grid
+    program with a CROSS-TILE DMA pipeline.  Why: the headline config
+    early-outs after ~2-3 windows/tile, so a self-contained per-tile pipeline
+    pays ~2 exposed DMA latencies per tile (first-window wait + final drain)
+    — measured 9.7 ms of a 19.8 ms 1024² frame with an all-skipped word
+    table (docs/PERF_NOTES.md round-3 roofline).  Instead:
+
+    * slab slots 0-1 are the in-tile double-buffer ring; slots 2-3 (by tile
+      parity) hold FIRST windows, prefetched one tile ahead so their copy
+      lands while the previous tile marches;
+    * nothing is drained at tile end — in-flight ring DMAs are recorded in a
+      pending bitmask carried across tiles (``mask``), waited right before
+      their slot is reused (or at program end), so the latency hides behind
+      the next tile's work.
+    """
+    z0 = jnp.int32(0)
+    narrow = xorg_ref is not None
+
+    def prefetch_first(tile):
+        """Issue tile's first-window DMA into its parity P slot.  Guarded by
+        the same has-windows condition under which the tile will wait it, so
+        a P slot can never dangle."""
+        t0 = _first_group(org_ref, tile, END)
+
+        @pl.when(t0 < END)
+        def _():
+            ts = jnp.where(t0 < END, t0, 0)
+            pend = org_ref[tile, ts]
+            xw = xorg_ref[tile, ts] if narrow else jnp.int32(0)
+            _, oz, oy, _ = _unpack_word(pend)
+            dma(2 + jax.lax.rem(tile, 2), oz, oy, xw).start()
+
+    prefetch_first(jnp.int32(0))  # only tile 0's latency is exposed
+
+    def tile_body(tile, mask):
+        @pl.when(tile + 1 < t_per)
+        def _():
+            prefetch_first(tile + 1)
+
+        return tile_fn(tile, mask)
+
+    mask = jax.lax.fori_loop(0, t_per, tile_body, jnp.int32(0))
+
+    @pl.when((mask & 1) == 1)
+    def _():
+        dma(0, z0, z0, z0).wait()
+
+    @pl.when((mask & 2) == 2)
+    def _():
+        dma(1, z0, z0, z0).wait()
+
+
+def _march_tiles_group(rays_ref, org_ref, xorg_ref, map_ref, vol_ref, out_ref,
+                       slab, state, sem, *, dims, max_samples, win_z,
+                       fmt="f32pair", k=2, win_y=WIN_Y, t_per=T_PER, G=1):
+    END = -(-max_samples // k)
+    dma = _window_dma(vol_ref, slab, sem, map_ref, xorg_ref is not None,
+                      win_z, win_y)
+
+    def tile_fn(tile, mask):
+        return _march_one_tile_group(
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+            mask, dims=dims, max_samples=max_samples, win_z=win_z,
+            xorg_ref=xorg_ref, map_ref=map_ref, fmt=fmt, k=k, win_y=win_y,
+            G=G)
+
+    _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -306,9 +408,9 @@ def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 
 
 def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
-                          sem, tile, *, dims, max_samples, win_z,
+                          sem, tile, mask, *, dims, max_samples, win_z,
                           xorg_ref=None, map_ref=None, fmt="f32pair", k=2,
-                          win_y=WIN_Y):
+                          win_y=WIN_Y, G=1):
     """``k`` march steps per DMA window: word ``p`` covers step indices
     ``k*p .. k*p + k - 1`` and its window is the union of all k footprints,
     so the loop runs 1/k the iterations and issues 1/k the DMAs of the
@@ -316,6 +418,13 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     advance is still exactly ``pos += d`` once per step (gap runs replay the
     skipped steps one at a time), so samples and composites are bit-identical
     to the dense march.
+
+    Pipelining (see ``_march_tiles_group``): the tile's FIRST window was
+    prefetched into P slot ``2 + tile%2`` one tile ago; iteration ``cnt``
+    issues the next window into ring slot ``cnt%2`` right after waiting its
+    sample window, and the in-flight set is tracked in ``mask`` (bit = ring
+    slot pending) so nothing stalls at tile end — stale ring DMAs are waited
+    just before their slot is reused.
 
     With ``xorg_ref`` (narrow-x mode) the volume is the chunked dual-copy
     layout of ``pack_pairs_narrow`` and each window DMA moves one 128-lane
@@ -334,64 +443,80 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     WIN_Z = win_z
     END = -(-max_samples // k)  # one-past-last group index (ceil)
     narrow = xorg_ref is not None
-    pooled = map_ref is not None
+    z0i = jnp.int32(0)
 
-    e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
-    d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
-    state[0:1, :] = e[0] + d[0]
-    state[1:2, :] = e[1] + d[1]
-    state[2:3, :] = e[2] + d[2]
-    state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
-    state[5:6, :] = rays_ref[tile, 6:7, :]
+    # per lane group g: rays rows at 8g+0..7, state rows at 8g+0..5
+    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
+         for g in range(G)]
+    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
+         for g in range(G)]
+    for g in range(G):
+        b = 8 * g
+        state[b + 0:b + 1, :] = e[g][0] + d[g][0]
+        state[b + 1:b + 2, :] = e[g][1] + d[g][1]
+        state[b + 2:b + 3, :] = e[g][2] + d[g][2]
+        state[b + 3:b + 5, :] = jnp.zeros((2, 128), jnp.float32)
+        state[b + 5:b + 6, :] = rays_ref[tile, 8 * g + 6:8 * g + 7, :]
 
-    def dma(slot, oz, oy, xw):
-        if pooled:
-            # 3D flattened pool: slot rows at [16*slot, 16*slot + SLAB_H)
-            ms = map_ref[0, oz >> 3]
-            src = vol_ref.at[pl.ds(ms * SLAB_H + (oz & 7), WIN_Z),
-                             pl.ds(oy, win_y), :]
-        elif narrow:
-            src = vol_ref.at[xw >> 16, pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
-        else:
-            src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
-        return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
+    dma = _window_dma(vol_ref, slab, sem, map_ref, narrow, win_z, win_y)
+    pslot = 2 + jax.lax.rem(tile, 2)
 
     def xword(t):
         return xorg_ref[tile, t] if narrow else jnp.int32(0)
 
-    w0 = org_ref[tile, 0]
-    nd0, _, _, s0bit = _unpack_word(w0)
-    t0 = jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
-    t_issue = jnp.where(t0 < END, t0, 0)
-    pend0 = org_ref[tile, t_issue]
-    pendx0 = xword(t_issue)
-    _, ozp, oyp, _ = _unpack_word(pend0)
-    dma(0, ozp, oyp, pendx0).start()
+    t0 = _first_group(org_ref, tile, END)
+    has_win = t0 < END
+
+    # the prefetched first window: wait it in straight-line code (the same
+    # condition under which _march_tiles_group issued it) so the P slot is
+    # settled even when no ray is alive and the while loop never runs
+    @pl.when(has_win)
+    def _():
+        dma(pslot, z0i, z0i, z0i).wait()
+
+    t_first = jnp.where(has_win, t0, 0)
+    pend0 = org_ref[tile, t_first]
+    pendx0 = xword(t_first)
+
+    def advance():
+        for g in range(G):
+            b = 8 * g
+            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
+            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
+            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
 
     def substep(slot, oz_c, oy_c, xeff, step_ok):
-        px = state[0:1, :]
-        py = state[1:2, :]
-        pz = state[2:3, :]
-        color = state[3:4, :]
-        alpha = state[4:5, :]
-        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                  & (pz > 0.0) & (pz < 1.0))
-        alive = (state[5:6, :] > 0.5) & inside & step_ok
-        smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z, xeff=xeff, fmt=fmt,
-                          win_y=win_y) * (1.0 / 255.0)
-        prev_alpha = smp - smp * alpha
-        color = jnp.where(alive, color + prev_alpha * smp, color)
-        alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
-        alive = alive & (alpha <= EARLY_OUT_ALPHA)
-        state[3:4, :] = color
-        state[4:5, :] = alpha
-        state[5:6, :] = jnp.where(alive, 1.0, 0.0)
-        return jnp.any(alive)
+        alive_acc = None
+        for g in range(G):
+            b = 8 * g
+            px = state[b + 0:b + 1, :]
+            py = state[b + 1:b + 2, :]
+            pz = state[b + 2:b + 3, :]
+            color = state[b + 3:b + 4, :]
+            alpha = state[b + 4:b + 5, :]
+            inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                      & (pz > 0.0) & (pz < 1.0))
+            alive = (state[b + 5:b + 6, :] > 0.5) & inside & step_ok
+            smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
+                              dims, WIN_Z, xeff=xeff, fmt=fmt,
+                              win_y=win_y) * (1.0 / 255.0)
+            prev_alpha = smp - smp * alpha
+            color = jnp.where(alive, color + prev_alpha * smp, color)
+            alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
+            alive = alive & (alpha <= EARLY_OUT_ALPHA)
+            state[b + 3:b + 4, :] = color
+            state[b + 4:b + 5, :] = alpha
+            state[b + 5:b + 6, :] = jnp.where(alive, 1.0, 0.0)
+            alive_acc = alive if alive_acc is None else (alive_acc | alive)
+        return jnp.any(alive_acc)  # ONE cross-lane reduce per substep
 
     def body(carry):
-        pi, t_cur, cnt, _, pend, pendx = carry  # pi = state's position index
-        slot = jax.lax.rem(cnt, 2)
+        # pi = state's position index; mask = pending ring-DMA bitmask
+        pi, t_cur, cnt, _, pend, pendx, mask = carry
+        is_first = cnt == 0
+        slot_i = jax.lax.rem(cnt, 2)            # issue target
+        slot_s = jax.lax.rem(cnt - 1, 2)        # ring sample source (cnt>=1)
+        sslot = jnp.where(is_first, pslot, slot_s)
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
@@ -399,48 +524,68 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
         # gap-run to step index k*t_cur (bit-exact with the dense march)
         def adv_body(i):
-            state[0:1, :] = state[0:1, :] + d[0]
-            state[1:2, :] = state[1:2, :] + d[1]
-            state[2:3, :] = state[2:3, :] + d[2]
+            advance()
             return i + 1
 
         jax.lax.while_loop(lambda i: i < k * t_cur - pi, adv_body,
                            jnp.int32(0))
 
-        dma(slot, oz_c, oy_c, pendx).wait()
-        # a partial last group's trailing substeps never composite (exactly
-        # the dense march, which stops at max_samples)
-        substep(slot, oz_c, oy_c, xeff, k * t_cur < max_samples)
+        # wait the ring DMA issued last iteration (the first window's P-slot
+        # copy was waited in the tile prologue)
+        @pl.when(~is_first)
+        def _():
+            dma(slot_s, z0i, z0i, z0i).wait()
 
-        # issue the DMA for the next sampled group (or a dummy re-fetch)
+        mask = jnp.where(is_first, mask, mask & ~(1 << slot_s))
+
+        # issue the next group's DMA before sampling (maximum overlap); a
+        # slot still pending from the PREVIOUS tile is waited first — after
+        # warm-up its copy landed long ago, so this never stalls
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
         x_next = xword(t_issue)
         _, oz_n, oy_n, _ = _unpack_word(w_next)
-        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n, x_next).start()
+
+        @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
+        def _():
+            dma(slot_i, z0i, z0i, z0i).wait()
+
+        @pl.when(nd > 0)
+        def _():
+            dma(slot_i, oz_n, oy_n, x_next).start()
+
+        mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
+
+        # a partial last group's trailing substeps never composite (exactly
+        # the dense march, which stops at max_samples)
+        substep(sslot, oz_c, oy_c, xeff, k * t_cur < max_samples)
 
         # remaining k-1 steps of the group from the same window
         any_alive = jnp.bool_(True)
         for j in range(1, k):
-            state[0:1, :] = state[0:1, :] + d[0]
-            state[1:2, :] = state[1:2, :] + d[1]
-            state[2:3, :] = state[2:3, :] + d[2]
-            any_alive = substep(slot, oz_c, oy_c, xeff,
+            advance()
+            any_alive = substep(sslot, oz_c, oy_c, xeff,
                                 k * t_cur + j < max_samples)
-        return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next, x_next
+        return (k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next,
+                x_next, mask)
 
     def cond(carry):
-        _, t_cur, _, any_alive, _, _ = carry
+        _, t_cur, _, any_alive, _, _, _ = carry
         return (t_cur < END) & any_alive
 
-    any0 = jnp.any(state[5:6, :] > 0.5)
+    hit_acc = state[5:6, :]
+    for g in range(1, G):
+        hit_acc = hit_acc + state[8 * g + 5:8 * g + 6, :]
+    any0 = jnp.any(hit_acc > 0.5)
     end = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0))
-    _, oz_e, oy_e, _ = _unpack_word(end[4])
-    dma(jax.lax.rem(end[2], 2), oz_e, oy_e, end[5]).wait()
-    out_ref[tile, 0:2, :] = state[3:5, :]
+        (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0, mask))
+    # out rows: 0..G-1 = per-group color, G..2G-1 = per-group alpha
+    for g in range(G):
+        out_ref[tile, g:g + 1, :] = state[8 * g + 3:8 * g + 4, :]
+        out_ref[tile, G + g:G + g + 1, :] = state[8 * g + 4:8 * g + 5, :]
+    return end[6]  # pending ring-DMA mask, carried to the next tile
 
 
 def _unpack_word(v):
@@ -523,30 +668,31 @@ def build_slab_pool(volume, mip8=None):
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "group",
-                                    "win_y"))
+                                    "win_y", "lanes"))
 def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
-            group=1, xwords=None, win_y=WIN_Y):
+            group=1, xwords=None, win_y=WIN_Y, lanes=1):
     n_tiles = rays_packed.shape[0]
+    G = lanes
     n_words = (-(-max_samples // group)) if group > 1 else (max_samples + 1)
     narrow = xwords is not None
     t_per = _t_per(n_tiles)
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
+    assert G == 1 or group > 1, (G, group)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert not narrow or group > 1
     if narrow:
         assert xwords.shape == (n_tiles, -(-max_samples // group)), xwords.shape
     word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     if narrow:
         vol_pairs = pack_pairs_narrow(volume)
         kernel = functools.partial(_march_kernel_narrow, dims=dims,
                                    max_samples=max_samples, win_z=win_z,
-                                   group=group, win_y=win_y, t_per=t_per)
-        in_specs = [
-            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            word_spec, word_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+                                   group=group, win_y=win_y, t_per=t_per, G=G)
+        in_specs = [ray_spec, word_spec, word_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]
         operands = (rays_packed, words, xwords, vol_pairs)
         slab_w = 128
     else:
@@ -554,13 +700,8 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         kernel = functools.partial(_march_kernel, dims=dims,
                                    max_samples=max_samples,
                                    win_z=win_z, group=group, win_y=win_y,
-                                   t_per=t_per)
-        in_specs = [
-            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            word_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+                                   t_per=t_per, G=G)
+        in_specs = [ray_spec, word_spec, pl.BlockSpec(memory_space=pl.ANY)]
         operands = (rays_packed, words, vol_pairs)
         slab_w = dims[0]
     out = pl.pallas_call(
@@ -571,27 +712,33 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, win_y, slab_w), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # group kernels double-buffer in slots 0-1 and prefetch the next
+            # tile's first window into slots 2-3 (cross-tile pipeline)
+            pltpu.VMEM((2 if group == 1 else 4, win_z, win_y, slab_w),
+                       jnp.float32),
+            pltpu.VMEM((8 * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 if group == 1 else 4,)),
         ],
     )(*operands)
-    return out[:, 0, :], out[:, 1, :]
+    # out rows 0..G-1 = per-group color, G..2G-1 = per-group alpha
+    return out[:, 0:G, :], out[:, G:2 * G, :]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "group",
-                                    "win_y"))
+                                    "win_y", "lanes"))
 def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
-                   win_z=4, group=2, win_y=WIN_Y):
+                   win_z=4, group=2, win_y=WIN_Y, lanes=1):
     """Compressed-domain launch: the volume operand is the sparse slab pool
     (``build_slab_pool``) plus its SMEM-resident slab map — no dense pair
     volume exists on device."""
     n_tiles = rays_packed.shape[0]
+    G = lanes
     X, Y, Z = dims
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
     assert group > 1 and win_z <= POOL_WIN_Z_MAX, (group, win_z)
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
     assert slab_map.shape == (1, Z // 8), slab_map.shape
@@ -599,13 +746,13 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
                              memory_space=pltpu.SMEM)
     kernel = functools.partial(_march_kernel_pooled, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group, win_y=win_y, t_per=t_per)
+                               group=group, win_y=win_y, t_per=t_per, G=G)
     pool3 = pool.reshape(-1, Y, X // 2)  # 3D view: same-form DMA as dense
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             word_spec,
             pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
@@ -616,39 +763,51 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, win_y, X // 2), jnp.int32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, win_z, win_y, X // 2), jnp.int32),
+            pltpu.VMEM((8 * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )(rays_packed, words, slab_map, pool3)
-    return out[:, 0, :], out[:, 1, :]
+    return out[:, 0:G, :], out[:, G:2 * G, :]
 
 
-def _pack_rays(entry_uv, direction, hit, dims):
-    """(H, W, 3)+(H, W) -> (tiles, 8, 128) f32: rows 0-2 entry, 3-5 dirStep,
-    6 hit, 7 pad.  Ray order inside a tile: TILE_H x TILE_W pixels row-major."""
+def _tile_lanes(a, G: int = 1):
+    """(H, W) -> (tiles, G, 128): cut the image into (TILE_H, G*TILE_W)-pixel
+    tiles of G lane groups; group g covers pixel columns [16g, 16g+16) of its
+    tile, row-major within the group (the G=1 layout, per 128-lane panel)."""
+    H, W = a.shape
+    t = a.reshape(H // TILE_H, TILE_H, W // (G * TILE_W), G, TILE_W)
+    return t.transpose(0, 2, 3, 1, 4).reshape(-1, G, TILE_H * TILE_W)
+
+
+def _pack_rays(entry_uv, direction, hit, dims, G: int = 1):
+    """(H, W, 3)+(H, W) -> (tiles, 8*G, 128) f32: per lane group g, rows
+    8g+0-2 entry, 8g+3-5 dirStep, 8g+6 hit, 8g+7 pad.  A tile is
+    TILE_H x (G*TILE_W) pixels — G vregs of 128 rays sharing one window DMA,
+    one control-word stream, and one march loop, so the per-tile scalar
+    overhead (the dominant frame cost at the headline config, see
+    docs/PERF_NOTES.md round 3) amortizes over G*128 rays."""
     H, W, _ = entry_uv.shape
     X, Y, Z = dims
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
 
-    def tile_lanes(a):  # (H, W) -> (tiles, 128)
-        t = a.reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
-        return t.transpose(0, 2, 1, 3).reshape(-1, TILE_H * TILE_W)
-
-    rows = [tile_lanes(entry_uv[..., i]) for i in range(3)]
-    rows += [tile_lanes(step[..., i]) for i in range(3)]
-    rows.append(tile_lanes(hit.astype(jnp.float32)))
+    rows = [_tile_lanes(entry_uv[..., i], G) for i in range(3)]
+    rows += [_tile_lanes(step[..., i], G) for i in range(3)]
+    rows.append(_tile_lanes(hit.astype(jnp.float32), G))
     rows.append(jnp.zeros_like(rows[0]))
-    return jnp.stack(rows, axis=1)  # (tiles, 8, 128)
+    stacked = jnp.stack(rows, axis=2)  # (tiles, G, 8, 128)
+    return stacked.reshape(stacked.shape[0], -1, 128)  # (tiles, 8G, 128)
 
 
-def _untile(a, H, W):
-    t = a.reshape(H // TILE_H, W // TILE_W, TILE_H, TILE_W)
-    return t.transpose(0, 2, 1, 3).reshape(H, W)
+def _untile(a, H, W, G: int = 1):
+    """(tiles, G, 128) (or (tiles, 128) when G == 1) -> (H, W)."""
+    t = a.reshape(H // TILE_H, W // (G * TILE_W), G, TILE_H, TILE_W)
+    return t.transpose(0, 3, 1, 2, 4).reshape(H, W)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples"))
-def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "G"))
+def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES,
+                    G: int = 1):
     """Footprint prepass: per-(tile, step) window mins plus global max spans.
 
     Jitted as ONE program: dispatched eagerly, the 300-step ``lax.scan``
@@ -664,9 +823,8 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     H, W, _ = entry_uv.shape
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
 
-    def tile_lanes(a):
-        t = a.reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
-        return t.transpose(0, 2, 1, 3).reshape(-1, TILE_H * TILE_W)
+    def tile_lanes(a):  # (H, W) -> (tiles, G*128): all the tile's lanes
+        return _tile_lanes(a, G).reshape(-1, G * TILE_H * TILE_W)
 
     e = jnp.stack([tile_lanes(entry_uv[..., i]) for i in range(3)], -1)
     d = jnp.stack([tile_lanes(step[..., i]) for i in range(3)], -1)
@@ -952,20 +1110,22 @@ def choose_win_z(span_z: int, cap: int = WIN_Z_MAX) -> int | None:
     return max(4, span_z)
 
 
+LANE_GROUPS_DEFAULT = 4   # vregs of 128 rays per tile (CompositingPlan auto)
 GROUP_KS = (16, 8, 4, 2)  # candidate steps-per-window (besides 1)
 WIN_Z_GROUP_MAX = 24      # group windows may be taller than per-step ones
 F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
 C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
 
 
-def _group_cost(k: int, win_z: int, win_y: int = WIN_Y) -> float:
-    """Modeled cost per march step: the window-fixed share amortizes over the
-    k substeps, sampling (and the window DMA bytes) scale with the window
-    area (R = win_z * win_y rows enter the tent-weight build, the lane
-    gather, and the DMA).  Constants from the measured split in
-    docs/PERF_NOTES.md (~0.42 us/window in pairs mode: ~40% DMA issue/wait +
-    ~27% loop/scalar fixed, ~33% sampling at win_z 4-8)."""
-    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z * (win_y / 16.0)
+def _group_cost(k: int, win_z: int, win_y: int = WIN_Y, G: int = 1) -> float:
+    """Modeled cost per march step: the window-fixed share (DMA issue +
+    loop scalars) amortizes over the k substeps AND is shared by all G lane
+    groups, while sampling scales with the window area (R = win_z * win_y
+    rows enter the tent-weight build, the lane gather, and the DMA) PER lane
+    group.  Constants recalibrated on the round-3 k×G sweep
+    (docs/PERF_NOTES.md: G=2 prefers k=4/win_z 8 over k=2/win_z 6, G=4
+    prefers k=2/win_z 8 over k=4/win_z 10 — both reproduced by this form)."""
+    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z * (win_y / 16.0) * G
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
@@ -1009,7 +1169,8 @@ class CompositingPlan:
     win_z <= POOL_WIN_Z_MAX, and X must split into 128-lane pair16 rows."""
 
     def __init__(self, entry_uv, direction, hit, dims,
-                 max_samples: int = MAX_SAMPLES, pooled: bool = False):
+                 max_samples: int = MAX_SAMPLES, pooled: bool = False,
+                 lane_groups: int | None = None):
         self.entry_uv = entry_uv
         self.direction = direction
         self.hit = hit
@@ -1023,15 +1184,27 @@ class CompositingPlan:
         self.win_y = WIN_Y
         self.group = 1
         self.xwords = None
+        # lane groups: G vregs of 128 rays per tile sharing one window DMA,
+        # word stream, and march loop — per-tile scalar overhead (the
+        # dominant cost at the headline config, docs/PERF_NOTES.md round 3)
+        # amortizes over G*128 rays at the price of slightly larger union
+        # windows.  Auto: the widest supported G <= LANE_GROUPS_DEFAULT.
+        if lane_groups is None:
+            G = LANE_GROUPS_DEFAULT
+            while G > 1 and W % (G * TILE_W) != 0:
+                G //= 2
+        else:
+            G = int(lane_groups)
+        self.lanes = G
         shapes_ok = not (
             X % 128 != 0 or Y % 8 != 0 or Y < 8 or Z < 4
-            or H % TILE_H != 0 or W % TILE_W != 0
+            or H % TILE_H != 0 or W % (G * TILE_W) != 0
         )
         if pooled and (X % 256 != 0 or Z % 8 != 0):
             shapes_ok = False
         if shapes_ok:
             spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
-                                                self.dims, max_samples)
+                                                self.dims, max_samples, G=G)
             self.mins = mins
             self.maxs = maxs
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
@@ -1045,17 +1218,18 @@ class CompositingPlan:
 
             best = None  # (cost, k, win_z, win_y, group_span_x)
             wy1 = wy_for(span_y)
-            if not pooled and wy1 is not None and Z >= max(4, span_z):
+            if G == 1 and not pooled and wy1 is not None \
+                    and Z >= max(4, span_z):
                 wz = choose_win_z(span_z)
                 if wz is not None:
-                    best = (_group_cost(1, wz, wy1), 1, wz, wy1, None)
+                    best = (_group_cost(1, wz, wy1, G), 1, wz, wy1, None)
             for k in GROUP_KS:
                 _, _, gspans = group_unions(mins, maxs, max_samples, k=k)
                 gwz = choose_win_z(int(gspans[1]), cap=wz_cap)
                 gwy = wy_for(int(gspans[0]))
                 if gwz is None or gwy is None or Z < gwz:
                     continue
-                cost = _group_cost(k, gwz, gwy)
+                cost = _group_cost(k, gwz, gwy, G)
                 if best is None or cost < best[0]:
                     best = (cost, k, gwz, gwy, int(gspans[2]))
             if best is not None:
@@ -1073,8 +1247,14 @@ class CompositingPlan:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples, k=k)
         self.use_kernel = self.win_z is not None
+        if not self.use_kernel and lane_groups is None and G > 1:
+            # wide-tile footprints exceeded the window caps — retry narrower
+            self.__init__(entry_uv, direction, hit, dims, max_samples,
+                          pooled, lane_groups=1)
+            return
         if self.use_kernel:
-            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
+            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
+                                          G=G)
 
     @property
     def pairs(self):  # backward-compat alias
@@ -1114,9 +1294,9 @@ class CompositingPlan:
         color, alpha = _launch(self.rays_packed, words, volume,
                                self.dims, self.max_samples, win_z=self.win_z,
                                group=self.group, xwords=self.xwords,
-                               win_y=self.win_y)
-        color = _untile(color, H, W)
-        alpha = _untile(alpha, H, W)
+                               win_y=self.win_y, lanes=self.lanes)
+        color = _untile(color, H, W, self.lanes)
+        alpha = _untile(alpha, H, W, self.lanes)
         return apply_reference_transfer(color, alpha), alpha
 
     def render_pooled(self, pool, slab_map, words=None):
@@ -1131,7 +1311,7 @@ class CompositingPlan:
         color, alpha = _launch_pooled(self.rays_packed, words, pool, slab_map,
                                       self.dims, self.max_samples,
                                       win_z=self.win_z, group=self.group,
-                                      win_y=self.win_y)
-        color = _untile(color, H, W)
-        alpha = _untile(alpha, H, W)
+                                      win_y=self.win_y, lanes=self.lanes)
+        color = _untile(color, H, W, self.lanes)
+        alpha = _untile(alpha, H, W, self.lanes)
         return apply_reference_transfer(color, alpha), alpha

@@ -45,30 +45,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...diff.transfer import TFParams
 from ..raycast import EARLY_OUT_ALPHA
-from .raycast_kernel import (T_PER, WIN_Y, CompositingPlan, _t_per,
-                             _tile_loop, _unpack_word, _untile, pack_pairs,
-                             tent_sample)
+from .raycast_kernel import (T_PER, WIN_Y, CompositingPlan, _first_group,
+                             _pipelined_tiles, _t_per, _unpack_word, _untile,
+                             _window_dma, pack_pairs, tent_sample)
 
 __all__ = ["make_render_tf_kernel", "render_tf_grads_pallas"]
 
 
 def _tf_kernel(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
                *, dims, max_samples, win_z, group, win_y=WIN_Y, t_per=T_PER):
-    _tile_loop(lambda tile: _tf_one_tile(
-        rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem, tile,
-        dims=dims, max_samples=max_samples, win_z=win_z, k=group,
-        win_y=win_y), t_per)
+    END = -(-max_samples // group)
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
+    _pipelined_tiles(
+        org_ref, None, dma, END, t_per,
+        lambda tile, mask: _tf_one_tile(
+            rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
+            tile, mask, dims=dims, max_samples=max_samples, win_z=win_z,
+            k=group, win_y=win_y))
 
 
 def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
-                 sem, tile, *, dims, max_samples, win_z, k, win_y=WIN_Y):
+                 sem, tile, mask, *, dims, max_samples, win_z, k, win_y=WIN_Y):
     """One 128-ray tile: the k-step-group march of
-    ``raycast_kernel._march_one_tile_group`` with TF scalars from SMEM and
-    five gradient accumulator rows.  State rows: 0-2 pos, 3 color, 4 alpha,
-    5 alive, 6 R, 7 P, 8 QP, 9 SG, 10 SB."""
+    ``raycast_kernel._march_one_tile_group`` (including its cross-tile DMA
+    pipeline protocol — P-slot first windows, pending-mask carry) with TF
+    scalars from SMEM and five gradient accumulator rows.  State rows:
+    0-2 pos, 3 color, 4 alpha, 5 alive, 6 R, 7 P, 8 QP, 9 SG, 10 SB."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = -(-max_samples // k)  # ceil: last group may be partial (masked)
+    z0i = jnp.int32(0)
     K = tf_ref[0, 0]
     G = tf_ref[0, 1]
     B = tf_ref[0, 2]
@@ -82,17 +88,18 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     state[5:6, :] = rays_ref[tile, 6:7, :]
     state[6:11, :] = jnp.zeros((5, 128), jnp.float32)
 
-    def dma(slot, oz, oy):
-        src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
-        return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
+    pslot = 2 + jax.lax.rem(tile, 2)
 
-    w0 = org_ref[tile, 0]
-    nd0, _, _, s0bit = _unpack_word(w0)
-    t0 = jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
-    t_issue = jnp.where(t0 < END, t0, 0)
-    pend0 = org_ref[tile, t_issue]
-    _, ozp, oyp, _ = _unpack_word(pend0)
-    dma(0, ozp, oyp).start()
+    t0 = _first_group(org_ref, tile, END)
+    has_win = t0 < END
+
+    @pl.when(has_win)
+    def _():
+        dma(pslot, z0i, z0i, z0i).wait()
+
+    t_first = jnp.where(has_win, t0, 0)
+    pend0 = org_ref[tile, t_first]
 
     def substep(slot, oz_c, oy_c, step_ok):
         px = state[0:1, :]
@@ -125,8 +132,11 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         return jnp.any(alive)
 
     def body(carry):
-        pi, t_cur, cnt, _, pend = carry
-        slot = jax.lax.rem(cnt, 2)
+        pi, t_cur, cnt, _, pend, mask = carry
+        is_first = cnt == 0
+        slot_i = jax.lax.rem(cnt, 2)
+        slot_s = jax.lax.rem(cnt - 1, 2)
+        sslot = jnp.where(is_first, pslot, slot_s)
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
@@ -140,35 +150,48 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         jax.lax.while_loop(lambda i: i < k * t_cur - pi, adv_body,
                            jnp.int32(0))
 
-        dma(slot, oz_c, oy_c).wait()
-        substep(slot, oz_c, oy_c, k * t_cur < max_samples)
+        @pl.when(~is_first)
+        def _():
+            dma(slot_s, z0i, z0i, z0i).wait()
+
+        mask = jnp.where(is_first, mask, mask & ~(1 << slot_s))
 
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
         _, oz_n, oy_n, _ = _unpack_word(w_next)
-        dma(jax.lax.rem(cnt + 1, 2), oz_n, oy_n).start()
+
+        @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
+        def _():
+            dma(slot_i, z0i, z0i, z0i).wait()
+
+        @pl.when(nd > 0)
+        def _():
+            dma(slot_i, oz_n, oy_n, z0i).start()
+
+        mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
+
+        substep(sslot, oz_c, oy_c, k * t_cur < max_samples)
 
         any_alive = jnp.bool_(True)
         for j in range(1, k):
             state[0:1, :] = state[0:1, :] + d[0]
             state[1:2, :] = state[1:2, :] + d[1]
             state[2:3, :] = state[2:3, :] + d[2]
-            any_alive = substep(slot, oz_c, oy_c, k * t_cur + j < max_samples)
-        return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next
+            any_alive = substep(sslot, oz_c, oy_c, k * t_cur + j < max_samples)
+        return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next, mask
 
     def cond(carry):
-        _, t_cur, _, any_alive, _ = carry
+        _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
     any0 = jnp.any(state[5:6, :] > 0.5)
     end = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0))
-    _, oz_e, oy_e, _ = _unpack_word(end[4])
-    dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
+        cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
     out_ref[tile, 0:2, :] = state[3:5, :]   # color_T, alpha_T
     out_ref[tile, 2:7, :] = state[6:11, :]  # R, P_total, QP, SG, SB
     out_ref[tile, 7:8, :] = jnp.zeros((1, 128), jnp.float32)
+    return end[5]
 
 
 @functools.partial(jax.jit,
@@ -200,9 +223,10 @@ def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win_z, win_y, dims[0]), jnp.float32),
+            # ring slots 0-1 + cross-tile first-window prefetch slots 2-3
+            pltpu.VMEM((4, win_z, win_y, dims[0]), jnp.float32),
             pltpu.VMEM((16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )(rays_packed, words, tf_scalars, vol_pairs)
     return out
@@ -213,6 +237,8 @@ def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,
     """One kernel pass -> (rgb, alpha, partials) where ``partials`` =
     (color_T, alpha_T, R, P_total, QP, SG, SB) as (H, W) images."""
     assert plan.use_kernel and plan.group > 1, "plan unsupported for TF kernel"
+    assert getattr(plan, "lanes", 1) == 1, \
+        "TF kernel runs single-lane-group plans (build with lane_groups=1)"
     H, W = plan.shape
     if words is None:
         words = plan.words_dense

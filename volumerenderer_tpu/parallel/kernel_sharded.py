@@ -74,13 +74,13 @@ def render_planned_sharded(mesh: Mesh, plan: CompositingPlan, volume,
             xwords_l = None
         return _launch(rays_l, words_l, vol, plan.dims, plan.max_samples,
                        win_z=plan.win_z, group=plan.group, xwords=xwords_l,
-                       win_y=plan.win_y)
+                       win_y=plan.win_y, lanes=plan.lanes)
 
     operands = (plan.rays_packed, words, plan.xwords, volume) if narrow \
         else (plan.rays_packed, words, volume)
     color, alpha = _render(*operands)
-    color = _untile(color, H, W)
-    alpha = _untile(alpha, H, W)
+    color = _untile(color, H, W, plan.lanes)
+    alpha = _untile(alpha, H, W, plan.lanes)
     return apply_reference_transfer(color, alpha), alpha
 
 
@@ -97,6 +97,7 @@ def tf_fit_step_kernel(mesh: Mesh, plan: CompositingPlan, params: TFParams,
     n = mesh.shape[axis]
     assert plan_shardable(plan, n), (plan.shape, n)
     assert plan.group > 1, "TF kernel needs a grouped plan"
+    assert plan.lanes == 1, "TF kernel runs single-lane-group plans"
     H, W = plan.shape
     if words is None:
         words = plan.words_dense
