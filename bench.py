@@ -79,11 +79,17 @@ def bench_isosurface(vol, plans_iso):
         acc = jnp.float32(0)
         iso255 = jnp.full((1, 1), 40.0, jnp.float32)
         for (rp, wd, euv, dirn), p in zip(packs, plans_iso):
-            found_t, t_hit_t = IK._launch(rp, wd, vol, iso255, p.dims,
-                                          p.max_samples, win_z=p.win_z,
-                                          win_y=p.win_y)
-            found = IK._untile(found_t, H, W) > 0.5
-            t_hit = IK._untile(t_hit_t, H, W)
+            if p.group > 1:
+                found_t, t_hit_t = IK._launch_group(
+                    rp, wd, vol, iso255, p.dims, p.max_samples + 1,
+                    win_z=p.win_z, win_y=p.win_y, group=p.group,
+                    lanes=p.lanes)
+            else:
+                found_t, t_hit_t = IK._launch(rp, wd, vol, iso255, p.dims,
+                                              p.max_samples, win_z=p.win_z,
+                                              win_y=p.win_y)
+            found = IK._untile(found_t, H, W, p.lanes) > 0.5
+            t_hit = IK._untile(t_hit_t, H, W, p.lanes)
             rgb, _ = IK._shade(vol, euv, dirn, found, t_hit,
                                40.0 / 255.0, p.dims)
             acc = acc + jnp.sum(rgb)

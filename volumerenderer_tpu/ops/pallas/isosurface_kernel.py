@@ -29,10 +29,201 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import MAX_SAMPLES, phong
-from .raycast_kernel import (T_PER, TILE_H, TILE_W, WIN_Y, _footprint_scan,
-                             _pack_rays, _t_per, _tile_loop, _untile,
-                             _unpack_word, build_word_table, choose_win_z,
-                             pack_pairs, tent_sample)
+from .raycast_kernel import (GROUP_KS, LANE_GROUPS_DEFAULT, T_PER, TILE_H,
+                             TILE_W, WIN_Y, WIN_Z_GROUP_MAX, _first_group,
+                             _footprint_scan, _group_cost, _pack_rays,
+                             _pipelined_tiles, _t_per, _tile_loop, _untile,
+                             _unpack_word, _window_dma, build_word_table,
+                             build_word_table_group, choose_win_z,
+                             group_unions, pack_pairs, tent_sample)
+
+
+def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab,
+                      state, sem, *, dims, n_pos, win_z, k, win_y=WIN_Y,
+                      t_per=T_PER, G=1):
+    """Grouped + lane-grouped + cross-tile-pipelined isosurface march (same
+    machinery as ``raycast_kernel._march_tiles_group``): k positions per DMA
+    window, G vregs of rays per tile, first windows prefetched one tile
+    ahead, pending ring DMAs carried across tiles."""
+    END = -(-n_pos // k)
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
+    _pipelined_tiles(
+        org_ref, None, dma, END, t_per,
+        lambda tile, mask: _iso_one_tile_group(
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+            mask, dims=dims, n_pos=n_pos, win_z=win_z,
+            iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G))
+
+
+def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
+                        sem, tile, mask, *, dims, n_pos, win_z, iso255, k,
+                        win_y=WIN_Y, G=1):
+    """Crossing detection on the group march.  Per lane group g, state rows
+    at base 8g: 0-2 pos, 3 s_prev, 4 found, 5 latch (hit & inside(pos 0),
+    cleared on found), 6 t_hit.
+
+    Crossing semantics follow the REFERENCE exactly (``isosurface.frag:126``
+    and the jnp march ``ops/isosurface.py``): the crossing between positions
+    t-1 and t requires the ray alive at the NEAR position t-1 — the far
+    sample s(t) is a clamp-sampled LOOKAHEAD that may lie outside the cube.
+    On a straight ray through the convex cube the alive latch at t-1 equals
+    ``hit & inside(pos 0) & inside(pos(t-1))``, so the anchor's aliveness is
+    recomputed from the current position (``pos - d``) — exact across
+    skipped gaps too.  After a skipped gap the (provably < iso) previous
+    sample is stood in by a -1 sentinel; position 0 only seeds s_prev."""
+    WIN_Z = win_z
+    END = -(-n_pos // k)
+    z0i = jnp.int32(0)
+
+    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
+         for g in range(G)]
+    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
+         for g in range(G)]
+    for g in range(G):
+        b = 8 * g
+        p0 = [e[g][i] + d[g][i] for i in range(3)]
+        in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
+               & (p0[2] > 0.0) & (p0[2] < 1.0))
+        state[b + 0:b + 1, :] = p0[0]
+        state[b + 1:b + 2, :] = p0[1]
+        state[b + 2:b + 3, :] = p0[2]
+        state[b + 3:b + 4, :] = jnp.full((1, 128), -1.0, jnp.float32)
+        state[b + 4:b + 5, :] = jnp.zeros((1, 128), jnp.float32)
+        state[b + 5:b + 6, :] = jnp.where(
+            (rays_ref[tile, 8 * g + 6:8 * g + 7, :] > 0.5) & in0, 1.0, 0.0)
+        state[b + 6:b + 7, :] = jnp.full((1, 128), -1.0, jnp.float32)
+
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
+    pslot = 2 + jax.lax.rem(tile, 2)
+
+    t0 = _first_group(org_ref, tile, END)
+    has_win = t0 < END
+
+    @pl.when(has_win)
+    def _():
+        dma(pslot, z0i, z0i, z0i).wait()
+
+    t_first = jnp.where(has_win, t0, 0)
+    pend0 = org_ref[tile, t_first]
+
+    def advance():
+        for g in range(G):
+            b = 8 * g
+            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
+            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
+            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+
+    def substep(sslot, oz_c, oy_c, t, contig):
+        """Position ``t`` (traced): sample, crossing test, latch updates.
+        ``contig``: position t-1 was sampled (its s_prev row is live)."""
+        alive_acc = None
+        for g in range(G):
+            b = 8 * g
+            px = state[b + 0:b + 1, :]
+            py = state[b + 1:b + 2, :]
+            pz = state[b + 2:b + 3, :]
+            s_prev = state[b + 3:b + 4, :]
+            found = state[b + 4:b + 5, :] > 0.5
+            latch = state[b + 5:b + 6, :] > 0.5
+            t_hit = state[b + 6:b + 7, :]
+            inside_n = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                        & (pz > 0.0) & (pz < 1.0))
+            qx = px - d[g][0]
+            qy = py - d[g][1]
+            qz = pz - d[g][2]
+            inside_p = ((qx > 0.0) & (qx < 1.0) & (qy > 0.0) & (qy < 1.0)
+                        & (qz > 0.0) & (qz < 1.0))
+            s_n = tent_sample(slab[sslot], px, py, pz, oz_c, oy_c, dims,
+                              WIN_Z, win_y=win_y)
+            s_pe = jnp.where(contig, s_prev,
+                             jnp.full((1, 128), -1.0, jnp.float32))
+            crossing = (latch & inside_p & (t > 0) & (t < n_pos)
+                        & (s_pe < iso255) & (s_n >= iso255) & ~found)
+            t_hit = jnp.where(
+                crossing,
+                jnp.broadcast_to((t - 1).astype(jnp.float32), t_hit.shape),
+                t_hit)
+            found = found | crossing
+            latch = latch & ~found
+            # a ray whose position left the cube can only still cross at the
+            # very next position (its lookahead) — keep it one extra step
+            alive = latch & inside_p & (t < n_pos)
+            state[b + 3:b + 4, :] = s_n
+            state[b + 4:b + 5, :] = jnp.where(found, 1.0, 0.0)
+            state[b + 5:b + 6, :] = jnp.where(latch, 1.0, 0.0)
+            state[b + 6:b + 7, :] = t_hit
+            alive_acc = alive if alive_acc is None else (alive_acc | alive)
+        return jnp.any(alive_acc)
+
+    def body(carry):
+        pi, t_cur, cnt, _, pend, mask = carry
+        is_first = cnt == 0
+        slot_i = jax.lax.rem(cnt, 2)
+        slot_s = jax.lax.rem(cnt - 1, 2)
+        sslot = jnp.where(is_first, pslot, slot_s)
+        w = org_ref[tile, t_cur]
+        nd, _, _, _ = _unpack_word(w)
+        _, oz_c, oy_c, _ = _unpack_word(pend)
+        contig0 = k * t_cur == pi + 1
+
+        def adv_body(i):
+            advance()
+            return i + 1
+
+        jax.lax.while_loop(lambda i: i < k * t_cur - pi, adv_body,
+                           jnp.int32(0))
+
+        @pl.when(~is_first)
+        def _():
+            dma(slot_s, z0i, z0i, z0i).wait()
+
+        mask = jnp.where(is_first, mask, mask & ~(1 << slot_s))
+
+        t_next = jnp.where(nd > 0, t_cur + nd, END)
+        t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
+        w_next = org_ref[tile, t_issue]
+        _, oz_n, oy_n, _ = _unpack_word(w_next)
+
+        @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
+        def _():
+            dma(slot_i, z0i, z0i, z0i).wait()
+
+        @pl.when(nd > 0)
+        def _():
+            dma(slot_i, oz_n, oy_n, z0i).start()
+
+        mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
+
+        substep(sslot, oz_c, oy_c, k * t_cur, contig0)
+        any_alive = jnp.bool_(True)
+        for j in range(1, k):
+            advance()
+            any_alive = substep(sslot, oz_c, oy_c, k * t_cur + j,
+                                jnp.bool_(True))
+        return (k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next,
+                mask)
+
+    def cond(carry):
+        _, t_cur, _, any_alive, _, _ = carry
+        return (t_cur < END) & any_alive
+
+    hit_acc = state[5:6, :]
+    for g in range(1, G):
+        hit_acc = hit_acc + state[8 * g + 5:8 * g + 6, :]
+    any0 = jnp.any(hit_acc > 0.5)
+    # the initial pi convention: no position has been processed, and the
+    # first group's gap-run must advance k*t0 steps from position 0 — pi = 0
+    # with contig0 = (k*t0 == 1) would wrongly mark position 1 contiguous
+    # after a skipped group 0, except a skipped group 0 implies its bound
+    # < iso so the sentinel and the stored init (-1) agree — contig is
+    # harmless there.  pi = 0 keeps the gap-run arithmetic of the
+    # compositing kernel (advance count = k*t_cur - pi from position 0).
+    end = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
+    for g in range(G):
+        out_ref[tile, g:g + 1, :] = state[8 * g + 4:8 * g + 5, :]
+        out_ref[tile, G + g:G + g + 1, :] = state[8 * g + 6:8 * g + 7, :]
+    return end[5]
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
@@ -71,8 +262,12 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
             src = vol_ref.at[pl.ds(oz, WIN_Z), pl.ds(oy, win_y), :]
         return pltpu.make_async_copy(src, slab.at[slot], sem.at[slot])
 
-    # state rows: 0-2 pos (at step t_prev), 3 s(t_prev), 4 found, 5 alive,
-    # 6 t_hit
+    # state rows: 0-2 pos (at step t_prev), 3 s(t_prev), 4 found, 5 latch
+    # (hit & inside(pos 0), cleared on found), 6 t_hit.  Crossing semantics
+    # match the reference exactly (see _iso_one_tile_group): the crossing
+    # between t-1 and t requires the ray alive at the NEAR position t-1
+    # (recomputed from pos - d), the far sample being a clamp-sampled
+    # lookahead that may lie outside the cube.
     e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
     d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
     hit0 = rays_ref[tile, 6:7, :] > 0.5
@@ -89,7 +284,7 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
     # skipped position 0 is provably < iso: any value < iso255 stands in
     state[3:4, :] = jnp.full((1, 128), -1.0, jnp.float32)
     state[4:5, :] = jnp.zeros((1, 128), jnp.float32)
-    state[5:6, :] = jnp.where(hit0, 1.0, 0.0)
+    state[5:6, :] = jnp.where(hit0 & in0, 1.0, 0.0)
     state[6:7, :] = jnp.full((1, 128), -1.0, jnp.float32)
 
     @pl.when(s0bit == 1)
@@ -132,12 +327,14 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         pz = state[2:3, :]
         s_k = state[3:4, :]
         found = state[4:5, :] > 0.5
-        alive = state[5:6, :] > 0.5
+        latch = state[5:6, :] > 0.5
         t_hit = state[6:7, :]
 
-        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                  & (pz > 0.0) & (pz < 1.0))
-        alive = alive & inside
+        qx = px - d[0]
+        qy = py - d[1]
+        qz = pz - d[2]
+        inside_p = ((qx > 0.0) & (qx < 1.0) & (qy > 0.0) & (qy < 1.0)
+                    & (qz > 0.0) & (qz < 1.0))
 
         dma(slot, oz_c, oy_c).wait()
         s_n = tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims, WIN_Z,
@@ -153,17 +350,19 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
         # after a gap the (skipped) previous sample is provably < iso
         s_prev = jnp.where(t_cur - t_prev == 1, s_k,
                            jnp.full((1, 128), -1.0, jnp.float32))
-        crossing = alive & (s_prev < iso255) & (s_n >= iso255) & ~found
+        crossing = (latch & inside_p & (s_prev < iso255) & (s_n >= iso255)
+                    & ~found)
         t_hit = jnp.where(
             crossing,
             jnp.broadcast_to((t_cur - 1).astype(jnp.float32), t_hit.shape),
             t_hit)
         found = found | crossing
-        alive = alive & ~found
+        latch = latch & ~found
+        alive = latch & inside_p  # outside rays survive one lookahead step
 
         state[3:4, :] = s_n
         state[4:5, :] = jnp.where(found, 1.0, 0.0)
-        state[5:6, :] = jnp.where(alive, 1.0, 0.0)
+        state[5:6, :] = jnp.where(latch, 1.0, 0.0)
         state[6:7, :] = t_hit
         return t_cur, t_next, cnt + 1, jnp.any(alive), w_next
 
@@ -178,6 +377,49 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
     dma(jax.lax.rem(end[2], 2), oz_e, oy_e).wait()
     out_ref[tile, 0:1, :] = state[4:5, :]   # found
     out_ref[tile, 1:2, :] = state[6:7, :]   # t_hit
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_z",
+                                             "win_y", "group", "lanes"))
+def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
+                  win_y=WIN_Y, group=2, lanes=1):
+    """Grouped iso launch: k positions per window, G lane groups per tile,
+    cross-tile DMA pipeline — the fast iso march (docs/PERF_NOTES.md round 3:
+    the per-step kernel paid ~2 exposed DMA latencies and a full scalar loop
+    per tile per step)."""
+    n_tiles = rays_packed.shape[0]
+    G = lanes
+    k = group
+    t_per = _t_per(n_tiles)
+    n_words = -(-n_pos // k)
+    assert k > 1 and 1 <= G <= 4, (k, G)
+    assert rays_packed.shape[1] == 8 * G, rays_packed.shape
+    assert words.shape == (n_tiles, n_words), (words.shape, n_words)
+    vol_pairs = pack_pairs(volume)
+    kernel = functools.partial(_iso_kernel_group, dims=dims, n_pos=n_pos,
+                               win_z=win_z, k=k, win_y=win_y, t_per=t_per,
+                               G=G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // t_per,),
+        in_specs=[
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, win_z, win_y, dims[0]), jnp.float32),
+            pltpu.VMEM((8 * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(rays_packed, words, vol_pairs, iso255)
+    return out[:, 0:G, :], out[:, G:2 * G, :]
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z",
@@ -266,7 +508,8 @@ class IsosurfacePlan:
     sample every step."""
 
     def __init__(self, entry_uv, direction, hit, dims,
-                 max_samples: int = MAX_SAMPLES, pooled: bool = False):
+                 max_samples: int = MAX_SAMPLES, pooled: bool = False,
+                 lane_groups: int | None = None):
         self.entry_uv = entry_uv
         self.direction = direction
         self.hit = hit
@@ -278,35 +521,66 @@ class IsosurfacePlan:
         self.shape = (H, W)
         self.win_z = None
         self.win_y = WIN_Y
+        self.group = 1
+        # the pooled launch still runs the per-step single-lane kernel
+        if lane_groups is None:
+            G = 1 if pooled else LANE_GROUPS_DEFAULT
+            while G > 1 and W % (G * TILE_W) != 0:
+                G //= 2
+        else:
+            G = int(lane_groups)
+        self.lanes = G
         shapes_ok = not (X % 128 != 0 or Y % 8 != 0 or Y < 8 or Z < 4
-                         or H % TILE_H != 0 or W % TILE_W != 0)
+                         or H % TILE_H != 0 or W % (G * TILE_W) != 0)
         if pooled and (X % 256 != 0 or Z % 8 != 0):
             shapes_ok = False
         if shapes_ok:
-            spans, mins, _ = _footprint_scan(entry_uv, direction, hit,
-                                             self.dims, self.max_samples + 1)
+            n_pos = self.max_samples + 1  # sampled positions 0..max_samples
+            spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
+                                                self.dims, n_pos, G=G)
             span_y, span_z = int(spans[0]), int(spans[1])
-            wz = choose_win_z(span_z)
-            # adaptive window height: halve the bytes per window DMA when
-            # every footprint fits 8 aligned rows (same policy as
-            # CompositingPlan.wy_for)
-            if span_y <= 8 and Y >= 8:
-                wy = 8
-            elif span_y <= WIN_Y and Y >= WIN_Y:
-                wy = WIN_Y
-            else:
-                wy = None
-            if wz is not None and wy is not None and Z >= wz:
+
+            def wy_for(sy):
+                if sy <= 8 and Y >= 8:
+                    return 8
+                return WIN_Y if (sy <= WIN_Y and Y >= WIN_Y) else None
+
+            self.mins = mins
+            self.maxs = maxs
+            self.span_x = int(spans[2])
+            best = None  # (cost, k, win_z, win_y)
+            wz1 = choose_win_z(span_z)
+            wy1 = wy_for(span_y)
+            if not pooled:
+                for k in GROUP_KS:
+                    _, _, gs = group_unions(mins, maxs, n_pos, k=k)
+                    gwz = choose_win_z(int(gs[1]), cap=WIN_Z_GROUP_MAX)
+                    gwy = wy_for(int(gs[0]))
+                    if gwz is None or gwy is None or Z < gwz:
+                        continue
+                    cost = _group_cost(k, gwz, gwy, G)
+                    if best is None or cost < best[0]:
+                        best = (cost, k, gwz, gwy)
+            if best is not None:
+                _, k, wz, wy = best
+                self.group = k
                 self.win_z = wz
                 self.win_y = wy
-                self.mins = mins
-                self.span_x = int(spans[2])
+                self.words_dense = build_word_table_group(
+                    mins, maxs, self.dims, wz, n_pos, k=k, win_y=wy)
+            elif G == 1 and wz1 is not None and wy1 is not None and Z >= wz1:
+                self.win_z = wz1
+                self.win_y = wy1
                 self.words_dense = build_word_table(
-                    mins, self.dims, wz, n_steps=self.max_samples + 1,
-                    win_y=self.win_y)
+                    mins, self.dims, wz1, n_steps=n_pos, win_y=wy1)
         self.use_kernel = self.win_z is not None
+        if not self.use_kernel and lane_groups is None and G > 1:
+            self.__init__(entry_uv, direction, hit, dims, max_samples,
+                          pooled, lane_groups=1)
+            return
         if self.use_kernel:
-            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims)
+            self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
+                                          G=G)
 
     def bind(self, volume=None, iso_value=40.0 / 255.0, mip8=None):
         """Occupancy word table for this volume + isovalue (exact skipping).
@@ -315,9 +589,14 @@ class IsosurfacePlan:
         assert self.use_kernel
         # skip iff the (integer-valued) window bound is strictly below iso:
         # wmax > iso255 - 1e-3  <=>  wmax >= iso255 for 8-bit window maxima
+        thr = jnp.float32(iso_value * 255.0 - 1e-3)
+        if self.group > 1:
+            return build_word_table_group(
+                self.mins, self.maxs, self.dims, self.win_z,
+                self.max_samples + 1, volume=volume, threshold=thr,
+                span_x=self.span_x, mip8=mip8, k=self.group, win_y=self.win_y)
         return build_word_table(self.mins, self.dims, self.win_z,
-                                volume=volume,
-                                threshold=jnp.float32(iso_value * 255.0 - 1e-3),
+                                volume=volume, threshold=thr,
                                 n_steps=self.max_samples + 1,
                                 span_x=self.span_x, mip8=mip8,
                                 win_y=self.win_y)
@@ -333,11 +612,17 @@ class IsosurfacePlan:
             words = self.words_dense
         H, W = self.shape
         iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
-        found_t, t_hit_t = _launch(self.rays_packed, words, volume, iso255,
-                                   self.dims, self.max_samples,
-                                   win_z=self.win_z, win_y=self.win_y)
-        found = _untile(found_t, H, W) > 0.5
-        t_hit = _untile(t_hit_t, H, W)
+        if self.group > 1:
+            found_t, t_hit_t = _launch_group(
+                self.rays_packed, words, volume, iso255, self.dims,
+                self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
+                group=self.group, lanes=self.lanes)
+        else:
+            found_t, t_hit_t = _launch(self.rays_packed, words, volume,
+                                       iso255, self.dims, self.max_samples,
+                                       win_z=self.win_z, win_y=self.win_y)
+        found = _untile(found_t, H, W, self.lanes) > 0.5
+        t_hit = _untile(t_hit_t, H, W, self.lanes)
         return _shade(volume, self.entry_uv, self.direction, found, t_hit,
                       iso_value, self.dims)
 
