@@ -70,9 +70,15 @@ def config3(brick):
         dec = np.asarray(r.volume_at()) * 255.0
         err = np.abs(dec - brick.astype(np.float64))
         dt, _ = timed(lambda: float(jnp.sum(r.render(rays)[0])))
+        # compressed-domain resident bytes: packed tree + deduped slab pool
+        # (VERDICT round 2 "Next" #4's recorded metric) vs the dense u8 brick
+        pool, smap = r.slab_pool_at()
+        resident = (tree.num_active_nodes + 3) // 4 + pool.nbytes + smap.nbytes
         emit(3, tolerance=tol, build_s=build_s,
              bits_per_voxel=2 * tree.num_active_nodes / brick.size,
              max_err=float(err.max()), mean_err=float(err.mean()),
+             resident_bytes=int(resident),
+             resident_vs_dense_u8=float(resident / brick.size),
              rays_per_s=512 * 512 / dt)
 
 

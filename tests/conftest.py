@@ -17,3 +17,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))  # for `oracles` imports
+
+
+# Eager DMA execution in interpret mode: the default "on_wait" mode executes
+# DMA reads/writes inside semaphore waiters via a shared task queue, which we
+# observed to deadlock nondeterministically under full-suite thread load
+# (utime frozen, all threads sleeping); "eager" executes each copy at
+# ``start()`` — the semantics the kernels are written against.
+from jax.experimental.pallas import tpu as _pltpu  # noqa: E402
+
+EAGER_INTERPRET = _pltpu.InterpretParams(dma_execution_mode="eager")

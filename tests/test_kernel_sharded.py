@@ -17,6 +17,8 @@ from volumerenderer_tpu.ops.raycast import render_compositing
 from volumerenderer_tpu.parallel.kernel_sharded import (
     plan_shardable, render_planned_sharded, tf_fit_step_kernel)
 
+from conftest import EAGER_INTERPRET
+
 VOL_SHAPE = (8, 16, 128)  # (Z, Y, X)
 
 
@@ -41,7 +43,7 @@ def test_sharded_render_parity(n):
     vol = _volume()
     rays = _rays()
     Z, Y, X = vol.shape
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24)
         assert plan.use_kernel
@@ -65,7 +67,7 @@ def test_sharded_render_with_occupancy_words(n=4):
     vol = vol.at[0:4].set(0.0)
     rays = _rays()
     Z, Y, X = vol.shape
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24)
         assert plan.use_kernel
@@ -95,7 +97,7 @@ def test_sharded_tf_fit_step_matches_single_device(n=4):
                       color_bias=jnp.float32(0.05),
                       flip_sign=jnp.array([-0.8, 0.6, 0.3], jnp.float32),
                       flip_bias=jnp.array([0.9, 0.2, 0.4], jnp.float32))
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24, lane_groups=1)
         assert plan.use_kernel and plan.group > 1

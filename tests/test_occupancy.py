@@ -8,6 +8,8 @@ from volumerenderer_tpu.ops.sampling import (as_normalized_volume,
                                              sample_trilinear,
                                              sample_trilinear_packed)
 
+from conftest import EAGER_INTERPRET
+
 
 def _rand_vol(shape, seed=0):
     rng = np.random.default_rng(seed)
@@ -248,7 +250,7 @@ def test_make_plan_tree_skip_outputs_unchanged_interpret():
     tree = build_tree(v, tolerance=1, max_epochs=2)
     r = CompressedRenderer(tree)
     rays = generate_rays(Camera(width=64, height=32))
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         rgb_k, a_k = r.make_plan(rays, mode="compositing",
                                  max_samples=24, skip_empty=True)()
     vol = r.volume_at()

@@ -1,6 +1,6 @@
 """Interpret-mode Pallas kernel tests: the full kernel math (word-table
 march, gap runs, pair substeps, chunk-select lane gathers, DMA pipeline)
-runs under pytest on CPU via ``pltpu.force_tpu_interpret_mode()`` — no TPU
+runs under pytest on CPU via ``pltpu.force_tpu_interpret_mode(EAGER_INTERPRET)`` — no TPU
 needed, so the 1,100 lines of kernel code are CI-covered, not just checked
 by hardware sessions (VERDICT round 1, "What's weak" #2).
 
@@ -15,6 +15,8 @@ from jax.experimental.pallas import tpu as pltpu
 from volumerenderer_tpu import Camera, generate_rays, as_normalized_volume
 from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
 from volumerenderer_tpu.ops.raycast import render_compositing
+
+from conftest import EAGER_INTERPRET
 
 VOL_SHAPE = (8, 16, 128)  # (Z, Y, X)
 
@@ -42,7 +44,7 @@ def test_interpret_compositing_pairs_parity():
     vol = _volume()
     rays = _rays()
     Z, Y, X = vol.shape
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24)
         assert plan.use_kernel, "planner rejected a supported configuration"
@@ -56,7 +58,7 @@ def test_interpret_compositing_dense_parity(monkeypatch):
     rays = _rays()
     Z, Y, X = vol.shape
     monkeypatch.setattr(RK, "GROUP_KS", ())
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=23)
         assert plan.use_kernel and not plan.pairs
@@ -70,7 +72,7 @@ def test_interpret_partial_last_group_parity(monkeypatch):
     rays = _rays()
     Z, Y, X = vol.shape
     monkeypatch.setattr(RK, "GROUP_KS", (4,))
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=23)
         assert plan.use_kernel and plan.group == 4
@@ -89,7 +91,7 @@ def test_interpret_group_k_parity(k, monkeypatch):
     rays = _rays()
     Z, Y, X = vol.shape
     monkeypatch.setattr(RK, "GROUP_KS", (k,))
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=16)
         assert plan.use_kernel
@@ -111,13 +113,13 @@ def test_interpret_adaptive_win_y8_parity():
     vol = as_normalized_volume(
         np.round(rng.random((Z, Y, X)) * 255.0).astype(np.uint8))
     rays = _rays()
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=16)
         assert plan.use_kernel and plan.win_y == 8
         _assert_parity(plan, vol, rays, 16)
     svol = as_normalized_volume(sphere_volume((Z, Y, X), radius=0.3, soft=0.2))
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         ip = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
                             (X, Y, Z), max_samples=16)
         assert ip.use_kernel and ip.win_y == 8
@@ -137,7 +139,7 @@ def test_interpret_occupancy_skipping_exact():
     v[3:6, 6:12, 40:80] = np.linspace(0.2, 1.0, 40, dtype=np.float32)
     vol = as_normalized_volume(np.round(v * 255.0).astype(np.uint8))
     rays = _rays()
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24)
         assert plan.use_kernel
@@ -156,7 +158,7 @@ def test_interpret_pooled_compressed_march_parity():
     v[9:14, 4:12, 30:200] = np.linspace(0.2, 1.0, 170, dtype=np.float32)
     vol = as_normalized_volume(np.round(v * 255.0).astype(np.uint8))
     rays = _rays()
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24, pooled=True)
         assert plan.use_kernel and plan.group > 1
@@ -182,7 +184,7 @@ def test_interpret_pooled_dense_volume_parity():
     vol = as_normalized_volume(
         np.round(rng.random((Z, Y, X)) * 255.0).astype(np.uint8))
     rays = _rays()
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=16, pooled=True)
         assert plan.use_kernel
@@ -207,7 +209,7 @@ def test_interpret_isosurface_parity():
     rays = _rays()
     Z, Y, X = vol.shape
     iso = 0.5
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
                               (X, Y, Z), max_samples=24)
         assert plan.use_kernel
@@ -235,7 +237,7 @@ def test_interpret_pooled_isosurface_parity():
         sphere_volume((Z, Y, X), radius=0.3, soft=0.2))
     rays = _rays()
     iso = 0.5
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
                               (X, Y, Z), max_samples=24, pooled=True)
         assert plan.use_kernel
@@ -267,7 +269,7 @@ def test_interpret_compressed_renderer_pooled_end_to_end():
     tree = build_tree(data, tolerance=1, max_epochs=2)
     ren = CompressedRenderer(tree)
     rays = _rays()
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         for mode in ("compositing", "isosurface"):
             out_p = ren.make_plan(rays, mode=mode, max_samples=24,
                                   pooled=True)()
@@ -310,7 +312,7 @@ def test_interpret_tf_kernel_forward_and_grads():
     rgb_ref, a_ref = render_tf(params, vol, rays.entry_uv, rays.direction,
                                rays.hit, max_samples=24)
 
-    with pltpu.force_tpu_interpret_mode():
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24, lane_groups=1)
         assert plan.use_kernel and plan.group > 1

