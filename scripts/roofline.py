@@ -45,10 +45,11 @@ def orbit_camera(az_deg, width, height):
     return Camera(width=width, height=height, position=pos, front=front)
 
 
-def exit_depth_per_tile(vol, rays, max_samples):
+def exit_depth_per_tile(vol, rays, max_samples, G=1):
     """Per-tile march length (steps until every ray's alpha saturates or
     leaves the volume) from the jnp recurrence — the kernel's while loop
-    runs exactly this many sampled steps per tile."""
+    runs exactly this many sampled steps per tile.  ``G`` = plan.lanes
+    (tiles are TILE_H x G*TILE_W pixels)."""
     from volumerenderer_tpu.ops.raycast import EARLY_OUT_ALPHA, ALPHA_SCALE
     from volumerenderer_tpu.ops.sampling import sample_trilinear
     from volumerenderer_tpu.ops.pallas.raycast_kernel import TILE_H, TILE_W
@@ -68,7 +69,8 @@ def exit_depth_per_tile(vol, rays, max_samples):
             break
         s = sample_trilinear(vol, pos)
         alpha = jnp.where(alive, alpha + (s - s * alpha) * ALPHA_SCALE, alpha)
-    d = np.asarray(depth).reshape(H // TILE_H, TILE_H, W // TILE_W, TILE_W)
+    d = np.asarray(depth).reshape(H // TILE_H, TILE_H, W // (G * TILE_W),
+                                  G * TILE_W)
     return d.max(axis=(1, 3)).reshape(-1)  # per-tile exit step
 
 
@@ -89,7 +91,9 @@ def account(plan, tile_depth):
         wbytes = plan.win_z * plan.win_y * width * 4     # f32 pairs
     dma_bytes = windows * wbytes
     substeps = int(np.minimum(tile_depth, n_groups * k).sum())
-    samp_ops = substeps * plan.win_z * plan.win_y * 128 * OPS_PER_ROW_EL
+    # sampling runs once per substep PER lane group (window shared)
+    samp_ops = (substeps * plan.win_z * plan.win_y * 128 * OPS_PER_ROW_EL
+                * getattr(plan, "lanes", 1))
     return windows, dma_bytes, samp_ops, substeps
 
 
@@ -148,7 +152,8 @@ def main():
     # first-principles accounting per frame (mean over the orbit)
     tot = dict(windows=0, bytes=0, ops=0, substeps=0)
     for p, r in zip(plans, rays_list):
-        td = exit_depth_per_tile(vol, r, p.max_samples)
+        td = exit_depth_per_tile(vol, r, p.max_samples,
+                                 G=getattr(p, "lanes", 1))
         w, b, o, s = account(p, td)
         tot["windows"] += w
         tot["bytes"] += b
