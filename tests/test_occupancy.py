@@ -305,6 +305,6 @@ def test_cross_plan_bind_one_process():
     assert cp.use_kernel and ip.use_kernel
     wc = cp.bind(volume=vol)
     wi = ip.bind(volume=vol, iso_value=40.0 / 255.0)
-    # compositing tiles hold cp.lanes vregs of 128 rays; iso tiles hold one —
-    # the total 128-ray group count must agree
-    assert wc.shape[0] * cp.lanes == wi.shape[0]
+    # both kernels tile into groups of `lanes` vregs of 128 rays; the total
+    # 128-ray vreg count must agree regardless of each plan's group shape
+    assert wc.shape[0] * cp.lanes == wi.shape[0] * ip.lanes

@@ -280,11 +280,13 @@ def test_interpret_compressed_renderer_pooled_end_to_end():
                                        np.asarray(out_d[1]), atol=1e-5)
 
 
-def test_interpret_tf_kernel_forward_and_grads():
+@pytest.mark.parametrize("lane_groups", [1, None])
+def test_interpret_tf_kernel_forward_and_grads(lane_groups):
     """Single-pass TF kernel (ops/pallas/tf_kernel.py): outputs equal the
     jnp render_tf, and the closed-form parameter gradients equal
     jax.grad through the jnp march — at non-reference TF params and with
-    general cotangents on both outputs."""
+    general cotangents on both outputs.  Covers lane_groups=1 and the
+    auto (multi-lane-group) plan the headline config uses."""
     import jax
     from volumerenderer_tpu.diff.transfer import TFParams, render_tf
     from volumerenderer_tpu.ops.pallas.tf_kernel import make_render_tf_kernel
@@ -314,8 +316,11 @@ def test_interpret_tf_kernel_forward_and_grads():
 
     with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24, lane_groups=1)
+                                  (X, Y, Z), max_samples=24,
+                                  lane_groups=lane_groups)
         assert plan.use_kernel and plan.group > 1
+        if lane_groups is None:
+            assert plan.lanes > 1  # the auto plan must exercise lane groups
         f = make_render_tf_kernel(plan)
 
         def loss_k(p):

@@ -159,7 +159,8 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         pi, t_cur, cnt, _, pend, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)
-        slot_s = jax.lax.rem(cnt - 1, 2)
+        # == rem(cnt-1, 2) for cnt >= 1, non-negative so shifts are defined
+        slot_s = jax.lax.rem(cnt + 1, 2)
         sslot = jnp.where(is_first, pslot, slot_s)
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)

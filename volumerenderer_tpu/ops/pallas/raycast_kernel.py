@@ -515,7 +515,10 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         pi, t_cur, cnt, _, pend, pendx, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)            # issue target
-        slot_s = jax.lax.rem(cnt - 1, 2)        # ring sample source (cnt>=1)
+        # == rem(cnt-1, 2) for cnt >= 1; the +1 form stays non-negative so
+        # the `1 << slot_s` shifts below are always defined (cnt == 0 uses
+        # pslot and the mask ops are identity)
+        slot_s = jax.lax.rem(cnt + 1, 2)        # ring sample source (cnt>=1)
         sslot = jnp.where(is_first, pslot, slot_s)
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)

@@ -53,7 +53,8 @@ __all__ = ["make_render_tf_kernel", "render_tf_grads_pallas"]
 
 
 def _tf_kernel(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
-               *, dims, max_samples, win_z, group, win_y=WIN_Y, t_per=T_PER):
+               *, dims, max_samples, win_z, group, win_y=WIN_Y, t_per=T_PER,
+               G=1):
     END = -(-max_samples // group)
     dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
     _pipelined_tiles(
@@ -61,32 +62,39 @@ def _tf_kernel(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
         lambda tile, mask: _tf_one_tile(
             rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state, sem,
             tile, mask, dims=dims, max_samples=max_samples, win_z=win_z,
-            k=group, win_y=win_y))
+            k=group, win_y=win_y, G=G))
 
 
 def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
-                 sem, tile, mask, *, dims, max_samples, win_z, k, win_y=WIN_Y):
-    """One 128-ray tile: the k-step-group march of
-    ``raycast_kernel._march_one_tile_group`` (including its cross-tile DMA
+                 sem, tile, mask, *, dims, max_samples, win_z, k, win_y=WIN_Y,
+                 G=1):
+    """One tile of G lane groups (G vregs of 128 rays sharing one window DMA
+    / word stream / march loop, as in
+    ``raycast_kernel._march_one_tile_group``, including its cross-tile DMA
     pipeline protocol — P-slot first windows, pending-mask carry) with TF
-    scalars from SMEM and five gradient accumulator rows.  State rows:
-    0-2 pos, 3 color, 4 alpha, 5 alive, 6 R, 7 P, 8 QP, 9 SG, 10 SB."""
+    scalars from SMEM and five gradient accumulator rows per group.  State
+    rows per group g at base 16g: +0-2 pos, +3 color, +4 alpha, +5 alive,
+    +6 R, +7 P, +8 QP, +9 SG, +10 SB."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = -(-max_samples // k)  # ceil: last group may be partial (masked)
     z0i = jnp.int32(0)
     K = tf_ref[0, 0]
-    G = tf_ref[0, 1]
+    Gc = tf_ref[0, 1]
     B = tf_ref[0, 2]
 
-    e = [rays_ref[tile, i:i + 1, :] for i in range(3)]
-    d = [rays_ref[tile, 3 + i:4 + i, :] for i in range(3)]
-    state[0:1, :] = e[0] + d[0]
-    state[1:2, :] = e[1] + d[1]
-    state[2:3, :] = e[2] + d[2]
-    state[3:5, :] = jnp.zeros((2, 128), jnp.float32)
-    state[5:6, :] = rays_ref[tile, 6:7, :]
-    state[6:11, :] = jnp.zeros((5, 128), jnp.float32)
+    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
+         for g in range(G)]
+    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
+         for g in range(G)]
+    for g in range(G):
+        b = 16 * g
+        state[b + 0:b + 1, :] = e[g][0] + d[g][0]
+        state[b + 1:b + 2, :] = e[g][1] + d[g][1]
+        state[b + 2:b + 3, :] = e[g][2] + d[g][2]
+        state[b + 3:b + 5, :] = jnp.zeros((2, 128), jnp.float32)
+        state[b + 5:b + 6, :] = rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+        state[b + 6:b + 11, :] = jnp.zeros((5, 128), jnp.float32)
 
     dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
@@ -101,50 +109,64 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     t_first = jnp.where(has_win, t0, 0)
     pend0 = org_ref[tile, t_first]
 
+    def advance():
+        for g in range(G):
+            b = 16 * g
+            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
+            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
+            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+
     def substep(slot, oz_c, oy_c, step_ok):
-        px = state[0:1, :]
-        py = state[1:2, :]
-        pz = state[2:3, :]
-        color = state[3:4, :]
-        alpha = state[4:5, :]
-        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                  & (pz > 0.0) & (pz < 1.0))
-        alive = (state[5:6, :] > 0.5) & inside & step_ok
-        smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                          dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
-        sc = smp * G + B
-        pa = smp - smp * alpha
-        r = smp / jnp.maximum(1.0 - K * smp, 1e-12)
-        # prefix P BEFORE the alpha update (a_u = pre-update alpha), then QP
-        # against the inclusive prefix
-        P = state[7:8, :] + jnp.where(alive, smp * sc * (1.0 - alpha), 0.0)
-        state[7:8, :] = P
-        state[6:7, :] = state[6:7, :] + jnp.where(alive, r, 0.0)
-        state[8:9, :] = state[8:9, :] + jnp.where(alive, r * P, 0.0)
-        state[9:10, :] = state[9:10, :] + jnp.where(alive, pa * smp, 0.0)
-        state[10:11, :] = state[10:11, :] + jnp.where(alive, pa, 0.0)
-        color = jnp.where(alive, color + pa * sc, color)
-        alpha = jnp.where(alive, alpha + pa * K, alpha)
-        alive = alive & (alpha <= EARLY_OUT_ALPHA)
-        state[3:4, :] = color
-        state[4:5, :] = alpha
-        state[5:6, :] = jnp.where(alive, 1.0, 0.0)
-        return jnp.any(alive)
+        alive_acc = None
+        for g in range(G):
+            b = 16 * g
+            px = state[b + 0:b + 1, :]
+            py = state[b + 1:b + 2, :]
+            pz = state[b + 2:b + 3, :]
+            color = state[b + 3:b + 4, :]
+            alpha = state[b + 4:b + 5, :]
+            inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                      & (pz > 0.0) & (pz < 1.0))
+            alive = (state[b + 5:b + 6, :] > 0.5) & inside & step_ok
+            smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
+                              dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
+            sc = smp * Gc + B
+            pa = smp - smp * alpha
+            r = smp / jnp.maximum(1.0 - K * smp, 1e-12)
+            # prefix P BEFORE the alpha update (a_u = pre-update alpha),
+            # then QP against the inclusive prefix
+            P = state[b + 7:b + 8, :] + jnp.where(
+                alive, smp * sc * (1.0 - alpha), 0.0)
+            state[b + 7:b + 8, :] = P
+            state[b + 6:b + 7, :] = state[b + 6:b + 7, :] + jnp.where(
+                alive, r, 0.0)
+            state[b + 8:b + 9, :] = state[b + 8:b + 9, :] + jnp.where(
+                alive, r * P, 0.0)
+            state[b + 9:b + 10, :] = state[b + 9:b + 10, :] + jnp.where(
+                alive, pa * smp, 0.0)
+            state[b + 10:b + 11, :] = state[b + 10:b + 11, :] + jnp.where(
+                alive, pa, 0.0)
+            color = jnp.where(alive, color + pa * sc, color)
+            alpha = jnp.where(alive, alpha + pa * K, alpha)
+            alive = alive & (alpha <= EARLY_OUT_ALPHA)
+            state[b + 3:b + 4, :] = color
+            state[b + 4:b + 5, :] = alpha
+            state[b + 5:b + 6, :] = jnp.where(alive, 1.0, 0.0)
+            alive_acc = alive if alive_acc is None else (alive_acc | alive)
+        return jnp.any(alive_acc)  # ONE cross-lane reduce per substep
 
     def body(carry):
         pi, t_cur, cnt, _, pend, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)
-        slot_s = jax.lax.rem(cnt - 1, 2)
-        sslot = jnp.where(is_first, pslot, slot_s)
+        slot_s = jax.lax.rem(cnt + 1, 2)  # == rem(cnt-1, 2) for cnt >= 1,
+        sslot = jnp.where(is_first, pslot, slot_s)  # non-negative for shifts
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
 
         def adv_body(i):
-            state[0:1, :] = state[0:1, :] + d[0]
-            state[1:2, :] = state[1:2, :] + d[1]
-            state[2:3, :] = state[2:3, :] + d[2]
+            advance()
             return i + 1
 
         jax.lax.while_loop(lambda i: i < k * t_cur - pi, adv_body,
@@ -175,9 +197,7 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
 
         any_alive = jnp.bool_(True)
         for j in range(1, k):
-            state[0:1, :] = state[0:1, :] + d[0]
-            state[1:2, :] = state[1:2, :] + d[1]
-            state[2:3, :] = state[2:3, :] + d[2]
+            advance()
             any_alive = substep(sslot, oz_c, oy_c, k * t_cur + j < max_samples)
         return k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next, mask
 
@@ -185,51 +205,67 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
-    any0 = jnp.any(state[5:6, :] > 0.5)
+    hit_acc = state[5:6, :]
+    for g in range(1, G):
+        hit_acc = hit_acc + state[16 * g + 5:16 * g + 6, :]
+    any0 = jnp.any(hit_acc > 0.5)
     end = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
-    out_ref[tile, 0:2, :] = state[3:5, :]   # color_T, alpha_T
-    out_ref[tile, 2:7, :] = state[6:11, :]  # R, P_total, QP, SG, SB
-    out_ref[tile, 7:8, :] = jnp.zeros((1, 128), jnp.float32)
+    # out rows per group g: 8g+0 color_T, 8g+1 alpha_T, 8g+2..6 the five
+    # accumulators (R, P_total, QP, SG, SB), 8g+7 zero pad
+    for g in range(G):
+        b = 16 * g
+        out_ref[tile, 8 * g + 0:8 * g + 2, :] = state[b + 3:b + 5, :]
+        out_ref[tile, 8 * g + 2:8 * g + 7, :] = state[b + 6:b + 11, :]
+        out_ref[tile, 8 * g + 7:8 * g + 8, :] = jnp.zeros((1, 128),
+                                                          jnp.float32)
     return end[5]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "group",
-                                    "win_y"))
+                                    "win_y", "lanes"))
 def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
-               win_z=4, group=2, win_y=WIN_Y):
+               win_z=4, group=2, win_y=WIN_Y, lanes=1):
     n_tiles = rays_packed.shape[0]
+    G = lanes
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
     assert group > 1, group
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_tf_kernel, dims=dims,
                                max_samples=max_samples, win_z=win_z,
-                               group=group, win_y=win_y, t_per=t_per)
+                               group=group, win_y=win_y, t_per=t_per, G=G)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
         in_specs=[
-            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * G, 128), jnp.float32),
         scratch_shapes=[
             # ring slots 0-1 + cross-tile first-window prefetch slots 2-3
             pltpu.VMEM((4, win_z, win_y, dims[0]), jnp.float32),
-            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.VMEM((16 * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )(rays_packed, words, tf_scalars, vol_pairs)
     return out
+
+
+def tf_rows(out, H, W, G):
+    """Untile the 7 per-ray TF kernel outputs (out row 8g+i = field i of lane
+    group g) into (H, W) images."""
+    return [_untile(out[:, i::8, :], H, W, G) for i in range(7)]
 
 
 def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,
@@ -237,8 +273,6 @@ def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,
     """One kernel pass -> (rgb, alpha, partials) where ``partials`` =
     (color_T, alpha_T, R, P_total, QP, SG, SB) as (H, W) images."""
     assert plan.use_kernel and plan.group > 1, "plan unsupported for TF kernel"
-    assert getattr(plan, "lanes", 1) == 1, \
-        "TF kernel runs single-lane-group plans (build with lane_groups=1)"
     H, W = plan.shape
     if words is None:
         words = plan.words_dense
@@ -246,8 +280,8 @@ def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,
                             params.color_bias]).reshape(1, 3)
     out = _launch_tf(plan.rays_packed, words, volume, tf_scalars, plan.dims,
                      plan.max_samples, win_z=plan.win_z, group=plan.group,
-                     win_y=plan.win_y)
-    rows = [_untile(out[:, i, :], H, W) for i in range(7)]
+                     win_y=plan.win_y, lanes=plan.lanes)
+    rows = tf_rows(out, H, W, plan.lanes)
     color_T, alpha_T = rows[0], rows[1]
     rgb = params.flip_sign * color_T[..., None] + params.flip_bias
     return rgb, alpha_T, tuple(rows)
