@@ -26,7 +26,10 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp
@@ -123,29 +126,56 @@ def main():
         plans.append(plan)
         rays_list.append(rays)
 
+    import jax
+    from volumerenderer_tpu.ops.pallas.raycast_kernel import (
+        _launch, _launch_pooled, _untile)
+    from volumerenderer_tpu.ops.raycast import apply_reference_transfer
+
+    # ONE jit program for the whole orbit, plan arrays as ARGUMENTS
+    # (bench.py protocol: per-frame dispatch costs ~2.9 ms tunnel RPC each,
+    # and captured constants blow the remote-compile size limit)
     if pooled:
         from volumerenderer_tpu.ops.pallas.raycast_kernel import build_slab_pool
         pool, smap = build_slab_pool(vol)
+        packs = [(p.rays_packed, p.words_dense) for p in plans]
 
-        def render(p):
-            return p.render_pooled(pool, smap)
+        @jax.jit
+        def sequence(vol_or_pool, smap, packs):
+            s = jnp.float32(0)
+            for (rp, wd), p in zip(packs, plans):
+                c, a = _launch_pooled(rp, wd, vol_or_pool, smap, p.dims,
+                                      p.max_samples, win_z=p.win_z,
+                                      group=p.group, win_y=p.win_y,
+                                      lanes=p.lanes)
+                rgb = apply_reference_transfer(_untile(c, H, W, p.lanes),
+                                               _untile(a, H, W, p.lanes))
+                s = s + jnp.sum(rgb)
+            return s
+
+        args = (pool, smap, packs)
     else:
-        def render(p):
-            return p.render(vol)
+        packs = [(p.rays_packed, p.words_dense, p.xwords) for p in plans]
 
-    def sequence():
-        s = jnp.float32(0)
-        for p in plans:
-            rgb, _ = render(p)
-            s = s + jnp.sum(rgb)
-        return s
+        @jax.jit
+        def sequence(vol, smap, packs):
+            s = jnp.float32(0)
+            for (rp, wd, xw), p in zip(packs, plans):
+                c, a = _launch(rp, wd, vol, p.dims, p.max_samples,
+                               win_z=p.win_z, group=p.group, xwords=xw,
+                               win_y=p.win_y, lanes=p.lanes)
+                rgb = apply_reference_transfer(_untile(c, H, W, p.lanes),
+                                               _untile(a, H, W, p.lanes))
+                s = s + jnp.sum(rgb)
+            return s
 
-    float(sequence())  # compile + warm
+        args = (vol, None, packs)
+
+    float(sequence(*args))  # compile + warm
     reps = 3
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(reps):
-        acc += float(sequence())
+        acc += float(sequence(*args))
     dt = (time.perf_counter() - t0) / (reps * n_frames)
     rays_per_s = W * H / dt
 

@@ -27,3 +27,11 @@ sys.path.insert(0, os.path.dirname(__file__))  # for `oracles` imports
 from jax.experimental.pallas import tpu as _pltpu  # noqa: E402
 
 EAGER_INTERPRET = _pltpu.InterpretParams(dma_execution_mode="eager")
+
+# Concurrent interpret-mode programs (a pallas kernel under shard_map on the
+# 8-device mesh) deadlock in jax's io_callback device_put re-entrancy; hand
+# the callbacks numpy instead (see utils/interpret_fix.py).
+from volumerenderer_tpu.utils.interpret_fix import (  # noqa: E402
+    install_io_callback_numpy_patch)
+
+install_io_callback_numpy_patch()

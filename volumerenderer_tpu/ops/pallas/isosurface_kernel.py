@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..isosurface import MAX_SAMPLES, phong
+from ..isosurface import DELTA, DIFFUSE, MAX_SAMPLES, SPEC_POWER, phong
 from .raycast_kernel import (GROUP_KS, LANE_GROUPS_DEFAULT, T_PER, TILE_H,
                              TILE_W, WIN_Y, WIN_Z_GROUP_MAX, _first_group,
                              _footprint_scan, _group_cost, _pack_rays,
@@ -75,23 +75,25 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     END = -(-n_pos // k)
     z0i = jnp.int32(0)
 
-    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
-         for g in range(G)]
-    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
-         for g in range(G)]
-    for g in range(G):
-        b = 8 * g
-        p0 = [e[g][i] + d[g][i] for i in range(3)]
-        in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
-               & (p0[2] > 0.0) & (p0[2] < 1.0))
-        state[b + 0:b + 1, :] = p0[0]
-        state[b + 1:b + 2, :] = p0[1]
-        state[b + 2:b + 3, :] = p0[2]
-        state[b + 3:b + 4, :] = jnp.full((1, 128), -1.0, jnp.float32)
-        state[b + 4:b + 5, :] = jnp.zeros((1, 128), jnp.float32)
-        state[b + 5:b + 6, :] = jnp.where(
-            (rays_ref[tile, 8 * g + 6:8 * g + 7, :] > 0.5) & in0, 1.0, 0.0)
-        state[b + 6:b + 7, :] = jnp.full((1, 128), -1.0, jnp.float32)
+    # FIELD-MAJOR batched state (see raycast_kernel._march_one_tile_group):
+    # field f at rows [f*G, (f+1)*G) — 0 px, 1 py, 2 pz, 3 s_prev, 4 found,
+    # 5 latch, 6 t_hit
+    e = [jnp.concatenate([rays_ref[tile, 8 * g + i:8 * g + i + 1, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+                            for g in range(G)], axis=0)
+    p0 = [e[i] + d[i] for i in range(3)]
+    in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
+           & (p0[2] > 0.0) & (p0[2] < 1.0))
+    state[0 * G:1 * G, :] = p0[0]
+    state[1 * G:2 * G, :] = p0[1]
+    state[2 * G:3 * G, :] = p0[2]
+    state[3 * G:4 * G, :] = jnp.full((G, 128), -1.0, jnp.float32)
+    state[4 * G:5 * G, :] = jnp.zeros((G, 128), jnp.float32)
+    state[5 * G:6 * G, :] = jnp.where((hit0 > 0.5) & in0, 1.0, 0.0)
+    state[6 * G:7 * G, :] = jnp.full((G, 128), -1.0, jnp.float32)
 
     dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
@@ -107,53 +109,47 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     pend0 = org_ref[tile, t_first]
 
     def advance():
-        for g in range(G):
-            b = 8 * g
-            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
-            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
-            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+        state[0 * G:1 * G, :] = state[0 * G:1 * G, :] + d[0]
+        state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
+        state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
     def substep(sslot, oz_c, oy_c, t, contig):
         """Position ``t`` (traced): sample, crossing test, latch updates.
         ``contig``: position t-1 was sampled (its s_prev row is live)."""
-        alive_acc = None
-        for g in range(G):
-            b = 8 * g
-            px = state[b + 0:b + 1, :]
-            py = state[b + 1:b + 2, :]
-            pz = state[b + 2:b + 3, :]
-            s_prev = state[b + 3:b + 4, :]
-            found = state[b + 4:b + 5, :] > 0.5
-            latch = state[b + 5:b + 6, :] > 0.5
-            t_hit = state[b + 6:b + 7, :]
-            inside_n = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                        & (pz > 0.0) & (pz < 1.0))
-            qx = px - d[g][0]
-            qy = py - d[g][1]
-            qz = pz - d[g][2]
-            inside_p = ((qx > 0.0) & (qx < 1.0) & (qy > 0.0) & (qy < 1.0)
-                        & (qz > 0.0) & (qz < 1.0))
-            s_n = tent_sample(slab[sslot], px, py, pz, oz_c, oy_c, dims,
-                              WIN_Z, win_y=win_y)
-            s_pe = jnp.where(contig, s_prev,
-                             jnp.full((1, 128), -1.0, jnp.float32))
-            crossing = (latch & inside_p & (t > 0) & (t < n_pos)
-                        & (s_pe < iso255) & (s_n >= iso255) & ~found)
-            t_hit = jnp.where(
-                crossing,
-                jnp.broadcast_to((t - 1).astype(jnp.float32), t_hit.shape),
-                t_hit)
-            found = found | crossing
-            latch = latch & ~found
-            # a ray whose position left the cube can only still cross at the
-            # very next position (its lookahead) — keep it one extra step
-            alive = latch & inside_p & (t < n_pos)
-            state[b + 3:b + 4, :] = s_n
-            state[b + 4:b + 5, :] = jnp.where(found, 1.0, 0.0)
-            state[b + 5:b + 6, :] = jnp.where(latch, 1.0, 0.0)
-            state[b + 6:b + 7, :] = t_hit
-            alive_acc = alive if alive_acc is None else (alive_acc | alive)
-        return jnp.any(alive_acc)
+        px = state[0 * G:1 * G, :]
+        py = state[1 * G:2 * G, :]
+        pz = state[2 * G:3 * G, :]
+        s_prev = state[3 * G:4 * G, :]
+        found = state[4 * G:5 * G, :] > 0.5
+        latch = state[5 * G:6 * G, :] > 0.5
+        t_hit = state[6 * G:7 * G, :]
+        qx = px - d[0]
+        qy = py - d[1]
+        qz = pz - d[2]
+        inside_p = ((qx > 0.0) & (qx < 1.0) & (qy > 0.0) & (qy < 1.0)
+                    & (qz > 0.0) & (qz < 1.0))
+        s_n = jnp.concatenate(
+            [tent_sample(slab[sslot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
+                         oz_c, oy_c, dims, WIN_Z, win_y=win_y)
+             for g in range(G)], axis=0)
+        s_pe = jnp.where(contig, s_prev,
+                         jnp.full((G, 128), -1.0, jnp.float32))
+        crossing = (latch & inside_p & (t > 0) & (t < n_pos)
+                    & (s_pe < iso255) & (s_n >= iso255) & ~found)
+        t_hit = jnp.where(
+            crossing,
+            jnp.broadcast_to((t - 1).astype(jnp.float32), t_hit.shape),
+            t_hit)
+        found = found | crossing
+        latch = latch & ~found
+        # a ray whose position left the cube can only still cross at the
+        # very next position (its lookahead) — keep it one extra step
+        alive = latch & inside_p & (t < n_pos)
+        state[3 * G:4 * G, :] = s_n
+        state[4 * G:5 * G, :] = jnp.where(found, 1.0, 0.0)
+        state[5 * G:6 * G, :] = jnp.where(latch, 1.0, 0.0)
+        state[6 * G:7 * G, :] = t_hit
+        return jnp.any(alive)
 
     def body(carry):
         pi, t_cur, cnt, _, pend, mask = carry
@@ -208,10 +204,7 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
-    hit_acc = state[5:6, :]
-    for g in range(1, G):
-        hit_acc = hit_acc + state[8 * g + 5:8 * g + 6, :]
-    any0 = jnp.any(hit_acc > 0.5)
+    any0 = jnp.any(state[5 * G:6 * G, :] > 0.5)
     # the initial pi convention: no position has been processed, and the
     # first group's gap-run must advance k*t0 steps from position 0 — pi = 0
     # with contig0 = (k*t0 == 1) would wrongly mark position 1 contiguous
@@ -221,9 +214,9 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     # compositing kernel (advance count = k*t_cur - pi from position 0).
     end = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
-    for g in range(G):
-        out_ref[tile, g:g + 1, :] = state[8 * g + 4:8 * g + 5, :]
-        out_ref[tile, G + g:G + g + 1, :] = state[8 * g + 6:8 * g + 7, :]
+    # out rows 0..G-1 = found, G..2G-1 = t_hit: the field-major state blocks
+    out_ref[tile, 0:G, :] = state[4 * G:5 * G, :]
+    out_ref[tile, G:2 * G, :] = state[6 * G:7 * G, :]
     return end[5]
 
 
@@ -569,6 +562,15 @@ class IsosurfacePlan:
                 self.win_y = wy
                 self.words_dense = build_word_table_group(
                     mins, maxs, self.dims, wz, n_pos, k=k, win_y=wy)
+                # shade pass geometry: COARSER step groups than the march
+                # (shade windows are per hit-bearing group — fewer, slightly
+                # taller windows amortize the 10 tent evals; see
+                # _render_shaded_kernel)
+                ks = max(8, k)
+                _, _, gsk = group_unions(mins, maxs, n_pos, k=ks)
+                self.shade_k = ks
+                self.shade_win_z = max(4, int(gsk[1]))
+                self.shade_win_y = 8 * (-(-int(gsk[0]) // 8))
             elif G == 1 and wz1 is not None and wy1 is not None and Z >= wz1:
                 self.win_z = wz1
                 self.win_y = wy1
@@ -602,7 +604,12 @@ class IsosurfacePlan:
                                 span_x=self.span_x, mip8=mip8,
                                 win_y=self.win_y)
 
-    def render(self, volume, iso_value=40.0 / 255.0, words=None):
+    def render(self, volume, iso_value=40.0 / 255.0, words=None,
+               shade: str = "auto"):
+        """``shade``: "auto" runs the in-kernel shading pass whenever the
+        grouped march kernel is active (one window DMA per hit-bearing step
+        group, all 10 trilinear evals in VMEM); "xla" forces the full-image
+        gather shading pass (the pre-round-4 path, kept as oracle)."""
         from ..isosurface import render_isosurface
 
         if not self.use_kernel:
@@ -618,6 +625,9 @@ class IsosurfacePlan:
                 self.rays_packed, words, volume, iso255, self.dims,
                 self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
                 group=self.group, lanes=self.lanes)
+            if shade in ("auto", "kernel"):
+                return self._render_shaded_kernel(volume, found_t, t_hit_t,
+                                                  iso255)
         else:
             found_t, t_hit_t = _launch(self.rays_packed, words, volume,
                                        iso255, self.dims, self.max_samples,
@@ -626,6 +636,28 @@ class IsosurfacePlan:
         t_hit = _untile(t_hit_t, H, W, self.lanes)
         return _shade(volume, self.entry_uv, self.direction, found, t_hit,
                       iso_value, self.dims)
+
+    def _render_shaded_kernel(self, volume, found_t, t_hit_t, iso255):
+        H, W = self.shape
+        G = self.lanes
+        n_pos = self.max_samples + 1
+        ks = self.shade_k
+        pad_z, shift_y, win_zs, win_ys = _shade_pads(
+            self.dims, self.shade_win_z, self.shade_win_y)
+        swords = build_shade_words(found_t, t_hit_t, self.mins, self.maxs,
+                                   self.dims, n_pos, ks, win_zs,
+                                   win_ys, pad_z, shift_y)
+        pad = jnp.zeros((found_t.shape[0], 8 - 2 * G, 128), jnp.float32) \
+            if G < 4 else None
+        rows = [found_t, t_hit_t] + ([pad] if pad is not None else [])
+        hit_rows = jnp.concatenate(rows, axis=1)
+        r_t, g_t, b_t = _launch_shade(self.rays_packed, swords, hit_rows,
+                                      volume, iso255, self.dims, n_pos,
+                                      win_zs, win_ys, ks, lanes=G)
+        rgb = jnp.stack([_untile(r_t, H, W, G), _untile(g_t, H, W, G),
+                         _untile(b_t, H, W, G)], axis=-1)
+        found = _untile(found_t, H, W, G) > 0.5
+        return rgb, found
 
     def render_pooled(self, pool, slab_map, iso_value=40.0 / 255.0,
                       words=None, shade_pool=None):
@@ -712,6 +744,238 @@ def _shade_pooled(spool, smap, entry_uv, direction, found, t_hit, iso_value,
     return _shade_impl(
         lambda p: sample_trilinear_pooled(spool, smap, dims, p),
         entry_uv, direction, found, t_hit, iso_value, dims)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel shading (VERDICT round 3 missing #2): a second COMPACTED kernel
+# pass over hit tiles with device-planned windows.  The march's (found,
+# t_hit) output selects, per tile, only the step groups that contain a hit;
+# each selected group gets ONE window DMA (the march group's union footprint
+# padded by the shading reach: +-DELTA normal taps and the +1-step bisection
+# bracket), and all 10 trilinear evals (4-step bisection + 6 gradient taps,
+# ``isosurface.frag:23-75``) run from that VMEM window through the same tent
+# sampler as the march — replacing the ~0.2-0.4 s/frame of full-image XLA
+# gathers that made iso 43x slower than compositing.
+
+def _shade_pads(dims, win_z, win_y):
+    """Static shade-window geometry: z pad covers DELTA*Z taps + the 1-texel
+    bisection bracket extension; the y shift stays 8-aligned."""
+    import math
+
+    X, Y, Z = dims
+    pad_z = int(math.ceil(DELTA * Z)) + 2
+    pad_y = int(math.ceil(DELTA * Y)) + 2
+    shift_y = 8 * ((pad_y + 7) // 8)
+    win_zs = min(Z, win_z + 2 * pad_z)
+    win_ys = min(Y, win_y + 2 * shift_y)
+    return pad_z, shift_y, win_zs, win_ys
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_pos", "k", "win_zs",
+                                             "win_ys", "pad_z", "shift_y"))
+def build_shade_words(found_t, t_hit_t, mins, maxs, dims, n_pos, k, win_zs,
+                      win_ys, pad_z, shift_y):
+    """Device-planned shade word table: group ``p`` is sampled iff some ray
+    of the tile has ``t_hit`` in positions [k*p, k*p+k); origins are the
+    march group-union mins shifted by the shading pads and clamped.  Same
+    word packing / nd-chain as ``build_word_table_group``."""
+    X, Y, Z = dims
+    P = -(-n_pos // k)
+    T = mins.shape[0]
+    pmn, _, _ = group_unions(mins, maxs, n_pos, k=k)
+    oz = jnp.clip(pmn[..., 1] - pad_z, 0, Z - win_zs)
+    oy = jnp.clip((pmn[..., 0] // 8) * 8 - shift_y, 0, Y - win_ys)
+    grp = jnp.clip(t_hit_t.astype(jnp.int32) // k, 0, P - 1)
+    act = found_t > 0.5
+    tidx = jnp.broadcast_to(jnp.arange(T)[:, None, None], grp.shape)
+    sampled = jnp.zeros((T, P), jnp.int32).at[tidx, grp].max(
+        act.astype(jnp.int32)) > 0
+    idx = jnp.arange(P, dtype=jnp.int32)
+    nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((T, 1), 4 * P + 4, jnp.int32)], axis=1)
+    nd = jnp.where(after < P, after - idx, 0)
+    word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
+            | sampled.astype(jnp.int32))
+    return word.astype(jnp.int32)
+
+
+def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
+                    tile, mask, *, dims, n_pos, win_zs, iso, k, win_ys, G):
+    """Shade all hit rays of one tile, one window DMA per hit-bearing step
+    group.  Out rows per lane group g: 8g+0..2 = rgb (white init for
+    misses, matching ``isosurface.frag:79`` / ``main.cpp:392``)."""
+    END = -(-n_pos // k)
+    z0i = jnp.int32(0)
+    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
+         for g in range(G)]
+    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
+         for g in range(G)]
+    for g in range(G):
+        out_ref[tile, 8 * g:8 * g + 8, :] = jnp.ones((8, 128), jnp.float32)
+
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_zs, win_ys)
+    pslot = 2 + jax.lax.rem(tile, 2)
+
+    t0 = _first_group(org_ref, tile, END)
+    has_win = t0 < END
+
+    @pl.when(has_win)
+    def _():
+        dma(pslot, z0i, z0i, z0i).wait()
+
+    t_first = jnp.where(has_win, t0, 0)
+    pend0 = org_ref[tile, t_first]
+
+    def shade_group(slot, oz_c, oy_c, p):
+        """All shading for rays whose hit group is ``p`` (isosurface.frag
+        arithmetic via ``_shade_impl``'s formulas, tent-sampled)."""
+        lo_f = (p * k).astype(jnp.float32)
+
+        def samp(px, py, pz):
+            return tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims,
+                               win_zs, win_y=win_ys) * (1.0 / 255.0)
+
+        for g in range(G):
+            found = hit_ref[tile, g:g + 1, :] > 0.5
+            th = hit_ref[tile, G + g:G + g + 1, :]
+            active = found & (th >= lo_f) & (th < lo_f + float(k))
+            # pos_near/far = _shade_impl's brackets (entry + (t_hit+1)*step)
+            near = [e[g][i] + (th + 1.0) * d[g][i] for i in range(3)]
+            far = [near[i] + d[g][i] for i in range(3)]
+            left, right = near, far
+            for _ in range(4):  # Bisection, isosurface.frag:23-42
+                mid = [(right[i] + left[i]) * 0.5 for i in range(3)]
+                c_m = samp(mid[0], mid[1], mid[2])
+                go_left = c_m < iso
+                left = [jnp.where(go_left, mid[i], left[i])
+                        for i in range(3)]
+                right = [jnp.where(go_left, right[i], mid[i])
+                         for i in range(3)]
+            tc = [(right[i] + left[i]) * 0.5 for i in range(3)]
+            # central-difference normal, isosurface.frag:47-62
+            N = []
+            for i in range(3):
+                m1 = [tc[j] - (DELTA if j == i else 0.0) for j in range(3)]
+                p1 = [tc[j] + (DELTA if j == i else 0.0) for j in range(3)]
+                s1 = samp(m1[0], m1[1], m1[2])
+                s2 = samp(p1[0], p1[1], p1[2])
+                N.append((s1 - s2) * 0.5)
+            nrm = jnp.sqrt(N[0] * N[0] + N[1] * N[1] + N[2] * N[2])
+            inv = 1.0 / jnp.where(nrm > 0, nrm, 1.0)
+            N = [N[i] * inv for i in range(3)]
+            # Phong with headlight L = V = -dir, isosurface.frag:69-75.
+            # rays_packed rows carry the anisotropic STEP vector
+            # (direction / dims); undo the per-axis scale to recover the
+            # unit view direction (half = normalize(L+V) collapses to it)
+            V = [-d[g][0] * float(dims[0]), -d[g][1] * float(dims[1]),
+                 -d[g][2] * float(dims[2])]
+            vn = jnp.sqrt(V[0] * V[0] + V[1] * V[1] + V[2] * V[2])
+            Vn = [V[i] / vn for i in range(3)]
+            diff = jnp.maximum(Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2],
+                               0.0)
+            spec = jnp.power(jnp.maximum(
+                jnp.float32(1e-5),
+                Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2]),
+                jnp.float32(SPEC_POWER))
+            for c in range(3):
+                col = jnp.clip(diff * DIFFUSE[c] + spec, 0.0, 1.0)
+                row = out_ref[tile, 8 * g + c:8 * g + c + 1, :]
+                out_ref[tile, 8 * g + c:8 * g + c + 1, :] = jnp.where(
+                    active, col, row)
+
+    def body(carry):
+        t_cur, cnt, pend, mask = carry
+        is_first = cnt == 0
+        slot_i = jax.lax.rem(cnt, 2)
+        # == rem(cnt-1, 2) for cnt >= 1, non-negative so shifts are defined
+        slot_s = jax.lax.rem(cnt + 1, 2)
+        sslot = jnp.where(is_first, pslot, slot_s)
+        w = org_ref[tile, t_cur]
+        nd, _, _, _ = _unpack_word(w)
+        _, oz_c, oy_c, _ = _unpack_word(pend)
+
+        @pl.when(~is_first)
+        def _():
+            dma(slot_s, z0i, z0i, z0i).wait()
+
+        mask = jnp.where(is_first, mask, mask & ~(1 << slot_s))
+
+        t_next = jnp.where(nd > 0, t_cur + nd, END)
+        t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
+        w_next = org_ref[tile, t_issue]
+        _, oz_n, oy_n, _ = _unpack_word(w_next)
+
+        @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
+        def _():
+            dma(slot_i, z0i, z0i, z0i).wait()
+
+        @pl.when(nd > 0)
+        def _():
+            dma(slot_i, oz_n, oy_n, z0i).start()
+
+        mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
+        shade_group(sslot, oz_c, oy_c, t_cur)
+        return t_next, cnt + 1, w_next, mask
+
+    def cond(carry):
+        return carry[0] < END
+
+    end = jax.lax.while_loop(cond, body, (t0, jnp.int32(0), pend0, mask))
+    return end[3]
+
+
+def _shade_kernel(rays_ref, org_ref, hit_ref, iso_ref, vol_ref, out_ref,
+                  slab, sem, *, dims, n_pos, win_zs, k, win_ys, t_per, G):
+    END = -(-n_pos // k)
+    dma = _window_dma(vol_ref, slab, sem, None, False, win_zs, win_ys)
+    _pipelined_tiles(
+        org_ref, None, dma, END, t_per,
+        lambda tile, mask: _shade_one_tile(
+            rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem, tile,
+            mask, dims=dims, n_pos=n_pos, win_zs=win_zs,
+            iso=iso_ref[0, 0] * (1.0 / 255.0), k=k, win_ys=win_ys, G=G))
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_zs",
+                                             "win_ys", "k", "lanes"))
+def _launch_shade(rays_packed, shade_words, hit_rows, volume, iso255, dims,
+                  n_pos, win_zs, win_ys, k, lanes=1):
+    n_tiles = rays_packed.shape[0]
+    G = lanes
+    P = -(-n_pos // k)
+    t_per = _t_per(n_tiles)
+    assert rays_packed.shape[1] == 8 * G, rays_packed.shape
+    assert shade_words.shape == (n_tiles, P), (shade_words.shape, P)
+    assert hit_rows.shape == (n_tiles, 8, 128), hit_rows.shape
+    vol_pairs = pack_pairs(volume)
+    kernel = functools.partial(_shade_kernel, dims=dims, n_pos=n_pos,
+                               win_zs=win_zs, k=k, win_ys=win_ys,
+                               t_per=t_per, G=G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // t_per,),
+        in_specs=[
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_per, P), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * G, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, win_zs, win_ys, dims[0]), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(rays_packed, shade_words, hit_rows, iso255, vol_pairs)
+    # rgb rows 8g+0..2 per lane group
+    return out[:, 0::8, :], out[:, 1::8, :], out[:, 2::8, :]
 
 
 def render_isosurface_pallas(volume, entry_uv, direction, hit,

@@ -66,7 +66,7 @@ def _t_per(n_tiles: int) -> int:
 
 
 def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
-                fmt="f32pair", win_y=WIN_Y):
+                fmt="f32pair", win_y=WIN_Y, return_parts=False):
     """Trilinear sample of one pair-volume window for a 128-ray tile.
 
     ``slab_block`` is the (win_z, WIN_Y, ·) window whose origin is
@@ -155,7 +155,12 @@ def tent_sample(slab_block, px, py, pz, oz, oy, dims, win_z, xeff=0,
     g1 = pair - g0 * 256.0
     fx_b = jnp.broadcast_to(fx, (R, 128))
     v = g0 * (1.0 - fx_b) + g1 * fx_b
-    return jnp.sum(w * v, axis=0, keepdims=True)
+    out = jnp.sum(w * v, axis=0, keepdims=True)
+    if return_parts:
+        # (w, xi, fx): everything the scatter ADJOINT needs — row weights,
+        # per-lane anchor x index (volume coords), x fraction
+        return out, (w, xi, fx)
+    return out
 
 
 def _tile_loop(body, t_per):
@@ -234,7 +239,7 @@ def _first_group(org_ref, tile, END):
     return jnp.where(s0bit == 1, 0, jnp.where(nd0 > 0, nd0, END))
 
 
-def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn):
+def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn, n_ring=2):
     """Run ``tile_fn(tile, mask) -> mask`` for all ``t_per`` tiles of one grid
     program with a CROSS-TILE DMA pipeline.  Why: the headline config
     early-outs after ~2-3 windows/tile, so a self-contained per-tile pipeline
@@ -242,9 +247,12 @@ def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn):
     — measured 9.7 ms of a 19.8 ms 1024² frame with an all-skipped word
     table (docs/PERF_NOTES.md round-3 roofline).  Instead:
 
-    * slab slots 0-1 are the in-tile double-buffer ring; slots 2-3 (by tile
-      parity) hold FIRST windows, prefetched one tile ahead so their copy
-      lands while the previous tile marches;
+    * slab slots [0, n_ring) are the in-tile ring (2 = double buffer with
+      issue-one-ahead; 3 = issue-TWO-ahead, hiding the full ~1.5 µs DMA
+      latency behind two windows of compute — the round-4 roofline's
+      ~850 ns/window residual); slots n_ring/n_ring+1 (by tile parity) hold
+      FIRST windows, prefetched one tile ahead so their copy lands while
+      the previous tile marches;
     * nothing is drained at tile end — in-flight ring DMAs are recorded in a
       pending bitmask carried across tiles (``mask``), waited right before
       their slot is reused (or at program end), so the latency hides behind
@@ -265,7 +273,7 @@ def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn):
             pend = org_ref[tile, ts]
             xw = xorg_ref[tile, ts] if narrow else jnp.int32(0)
             _, oz, oy, _ = _unpack_word(pend)
-            dma(2 + jax.lax.rem(tile, 2), oz, oy, xw).start()
+            dma(n_ring + jax.lax.rem(tile, 2), oz, oy, xw).start()
 
     prefetch_first(jnp.int32(0))  # only tile 0's latency is exposed
 
@@ -278,13 +286,15 @@ def _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn):
 
     mask = jax.lax.fori_loop(0, t_per, tile_body, jnp.int32(0))
 
-    @pl.when((mask & 1) == 1)
-    def _():
-        dma(0, z0, z0, z0).wait()
+    for s in range(n_ring):
+        @pl.when(((mask >> s) & 1) == 1)
+        def _(s=s):
+            dma(s, z0, z0, z0).wait()
 
-    @pl.when((mask & 2) == 2)
-    def _():
-        dma(1, z0, z0, z0).wait()
+
+N_RING = 2  # group-march ring depth (issue-one-ahead; a depth-2/3-slot
+# variant measured ~2% SLOWER at the headline config — the extra word read
+# and carry cost more than the latency it hid, round-4 notes)
 
 
 def _march_tiles_group(rays_ref, org_ref, xorg_ref, map_ref, vol_ref, out_ref,
@@ -301,7 +311,8 @@ def _march_tiles_group(rays_ref, org_ref, xorg_ref, map_ref, vol_ref, out_ref,
             xorg_ref=xorg_ref, map_ref=map_ref, fmt=fmt, k=k, win_y=win_y,
             G=G)
 
-    _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn)
+    _pipelined_tiles(org_ref, xorg_ref, dma, END, t_per, tile_fn,
+                     n_ring=N_RING)
 
 
 def _march_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
@@ -445,18 +456,24 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     narrow = xorg_ref is not None
     z0i = jnp.int32(0)
 
-    # per lane group g: rays rows at 8g+0..7, state rows at 8g+0..5
-    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
-         for g in range(G)]
-    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
-         for g in range(G)]
-    for g in range(G):
-        b = 8 * g
-        state[b + 0:b + 1, :] = e[g][0] + d[g][0]
-        state[b + 1:b + 2, :] = e[g][1] + d[g][1]
-        state[b + 2:b + 3, :] = e[g][2] + d[g][2]
-        state[b + 3:b + 5, :] = jnp.zeros((2, 128), jnp.float32)
-        state[b + 5:b + 6, :] = rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+    # FIELD-MAJOR batched state: field f at rows [f*G, (f+1)*G) — all per-
+    # substep state math runs on (G, 128) blocks (ONE VPU instruction per
+    # op instead of G single-sublane (1, 128) ops; the round-4 roofline
+    # showed ~364 ns/substep of instruction-issue residual, dominated by
+    # exactly these ops).  Fields: 0 px, 1 py, 2 pz, 3 color, 4 alpha,
+    # 5 alive.  rays_ref rows stay group-major (8g+i) — gathered once per
+    # tile into (G, 128) register blocks here.
+    e = [jnp.concatenate([rays_ref[tile, 8 * g + i:8 * g + i + 1, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+                            for g in range(G)], axis=0)
+    state[0 * G:1 * G, :] = e[0] + d[0]
+    state[1 * G:2 * G, :] = e[1] + d[1]
+    state[2 * G:3 * G, :] = e[2] + d[2]
+    state[3 * G:5 * G, :] = jnp.zeros((2 * G, 128), jnp.float32)
+    state[5 * G:6 * G, :] = hit0
 
     dma = _window_dma(vol_ref, slab, sem, map_ref, narrow, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
@@ -479,36 +496,32 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     pendx0 = xword(t_first)
 
     def advance():
-        for g in range(G):
-            b = 8 * g
-            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
-            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
-            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+        state[0 * G:1 * G, :] = state[0 * G:1 * G, :] + d[0]
+        state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
+        state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
     def substep(slot, oz_c, oy_c, xeff, step_ok):
-        alive_acc = None
-        for g in range(G):
-            b = 8 * g
-            px = state[b + 0:b + 1, :]
-            py = state[b + 1:b + 2, :]
-            pz = state[b + 2:b + 3, :]
-            color = state[b + 3:b + 4, :]
-            alpha = state[b + 4:b + 5, :]
-            inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                      & (pz > 0.0) & (pz < 1.0))
-            alive = (state[b + 5:b + 6, :] > 0.5) & inside & step_ok
-            smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                              dims, WIN_Z, xeff=xeff, fmt=fmt,
-                              win_y=win_y) * (1.0 / 255.0)
-            prev_alpha = smp - smp * alpha
-            color = jnp.where(alive, color + prev_alpha * smp, color)
-            alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
-            alive = alive & (alpha <= EARLY_OUT_ALPHA)
-            state[b + 3:b + 4, :] = color
-            state[b + 4:b + 5, :] = alpha
-            state[b + 5:b + 6, :] = jnp.where(alive, 1.0, 0.0)
-            alive_acc = alive if alive_acc is None else (alive_acc | alive)
-        return jnp.any(alive_acc)  # ONE cross-lane reduce per substep
+        px = state[0 * G:1 * G, :]
+        py = state[1 * G:2 * G, :]
+        pz = state[2 * G:3 * G, :]
+        color = state[3 * G:4 * G, :]
+        alpha = state[4 * G:5 * G, :]
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = (state[5 * G:6 * G, :] > 0.5) & inside & step_ok
+        smp = jnp.concatenate(
+            [tent_sample(slab[slot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
+                         oz_c, oy_c, dims, WIN_Z, xeff=xeff, fmt=fmt,
+                         win_y=win_y) for g in range(G)],
+            axis=0) * (1.0 / 255.0)
+        prev_alpha = smp - smp * alpha
+        color = jnp.where(alive, color + prev_alpha * smp, color)
+        alpha = jnp.where(alive, alpha + prev_alpha * ALPHA_SCALE, alpha)
+        alive = alive & (alpha <= EARLY_OUT_ALPHA)
+        state[3 * G:4 * G, :] = color
+        state[4 * G:5 * G, :] = alpha
+        state[5 * G:6 * G, :] = jnp.where(alive, 1.0, 0.0)
+        return jnp.any(alive)  # ONE cross-lane reduce per substep
 
     def body(carry):
         # pi = state's position index; mask = pending ring-DMA bitmask
@@ -520,9 +533,7 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         # pslot and the mask ops are identity)
         slot_s = jax.lax.rem(cnt + 1, 2)        # ring sample source (cnt>=1)
         sslot = jnp.where(is_first, pslot, slot_s)
-        w = org_ref[tile, t_cur]
-        nd, _, _, _ = _unpack_word(w)
-        _, oz_c, oy_c, _ = _unpack_word(pend)
+        nd, oz_c, oy_c, _ = _unpack_word(pend)
         xeff = pendx & 0xFFFF
 
         # gap-run to step index k*t_cur (bit-exact with the dense march)
@@ -577,17 +588,14 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         _, t_cur, _, any_alive, _, _, _ = carry
         return (t_cur < END) & any_alive
 
-    hit_acc = state[5:6, :]
-    for g in range(1, G):
-        hit_acc = hit_acc + state[8 * g + 5:8 * g + 6, :]
-    any0 = jnp.any(hit_acc > 0.5)
+    any0 = jnp.any(state[5 * G:6 * G, :] > 0.5)
     end = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0, mask))
-    # out rows: 0..G-1 = per-group color, G..2G-1 = per-group alpha
-    for g in range(G):
-        out_ref[tile, g:g + 1, :] = state[8 * g + 3:8 * g + 4, :]
-        out_ref[tile, G + g:G + g + 1, :] = state[8 * g + 4:8 * g + 5, :]
+    # out rows: 0..G-1 = per-group color, G..2G-1 = per-group alpha —
+    # exactly the field-major state blocks
+    out_ref[tile, 0:G, :] = state[3 * G:4 * G, :]
+    out_ref[tile, G:2 * G, :] = state[4 * G:5 * G, :]
     return end[6]  # pending ring-DMA mask, carried to the next tile
 
 
@@ -733,12 +741,13 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            # group kernels double-buffer in slots 0-1 and prefetch the next
-            # tile's first window into slots 2-3 (cross-tile pipeline)
-            pltpu.VMEM((2 if group == 1 else 4, win_z, win_y, slab_w),
-                       jnp.float32),
+            # group kernels ring through slots 0..N_RING-1
+            # and prefetch the next tile's first window into the two P slots
+            # after the ring (cross-tile pipeline)
+            pltpu.VMEM((2 if group == 1 else N_RING + 2, win_z, win_y,
+                        slab_w), jnp.float32),
             pltpu.VMEM((8 * G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2 if group == 1 else 4,)),
+            pltpu.SemaphoreType.DMA((2 if group == 1 else N_RING + 2,)),
         ],
     )(*operands)
     # out rows 0..G-1 = per-group color, G..2G-1 = per-group alpha
@@ -784,9 +793,9 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, win_z, win_y, X // 2), jnp.int32),
+            pltpu.VMEM((N_RING + 2, win_z, win_y, X // 2), jnp.int32),
             pltpu.VMEM((8 * G, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((N_RING + 2,)),
         ],
     )(rays_packed, words, slab_map, pool3)
     return out[:, 0:G, :], out[:, G:2 * G, :]

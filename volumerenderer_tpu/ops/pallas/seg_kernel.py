@@ -87,9 +87,11 @@ def _seg_kernel(rays_ref, org_ref, zr_ref, vol_ref, out_ref, slab, state,
 def _seg_one_tile(rays_ref, org_ref, zr_ref, vol_ref, out_ref, slab, state,
                   sem, tile, mask, *, dims, max_samples, win_z, k,
                   win_y=WIN_Y, G=1):
-    """State rows per lane group g at base 8g: 0-2 pos, 3 C_seg, 4 alpha_seg,
-    5 alive, 6 t_first.  Out rows per group: 8g+0 C_seg, 8g+1 alpha_seg
-    (T_seg = 1 - alpha_seg), 8g+2 t_first."""
+    """FIELD-MAJOR batched state (see
+    ``raycast_kernel._march_one_tile_group``): field f at rows
+    [f*G, (f+1)*G) — 0 px, 1 py, 2 pz, 3 C_seg, 4 alpha_seg, 5 alive,
+    6 t_first.  Out rows: C_seg at [0, G), alpha_seg at [G, 2G)
+    (T_seg = 1 - alpha_seg), t_first at [2G, 3G)."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = -(-max_samples // k)
@@ -100,18 +102,18 @@ def _seg_one_tile(rays_ref, org_ref, zr_ref, vol_ref, out_ref, slab, state,
     ylo_f = zr_ref[0, 2].astype(jnp.float32)
     yhi_f = zr_ref[0, 3].astype(jnp.float32)
 
-    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
-         for g in range(G)]
-    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
-         for g in range(G)]
-    for g in range(G):
-        b = 8 * g
-        state[b + 0:b + 1, :] = e[g][0] + d[g][0]
-        state[b + 1:b + 2, :] = e[g][1] + d[g][1]
-        state[b + 2:b + 3, :] = e[g][2] + d[g][2]
-        state[b + 3:b + 5, :] = jnp.zeros((2, 128), jnp.float32)
-        state[b + 5:b + 6, :] = rays_ref[tile, 8 * g + 6:8 * g + 7, :]
-        state[b + 6:b + 7, :] = jnp.full((1, 128), BIG_T, jnp.float32)
+    e = [jnp.concatenate([rays_ref[tile, 8 * g + i:8 * g + i + 1, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+                            for g in range(G)], axis=0)
+    state[0 * G:1 * G, :] = e[0] + d[0]
+    state[1 * G:2 * G, :] = e[1] + d[1]
+    state[2 * G:3 * G, :] = e[2] + d[2]
+    state[3 * G:5 * G, :] = jnp.zeros((2 * G, 128), jnp.float32)
+    state[5 * G:6 * G, :] = hit0
+    state[6 * G:7 * G, :] = jnp.full((G, 128), BIG_T, jnp.float32)
 
     dma = _seg_dma(vol_ref, slab, sem, zr_ref, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
@@ -127,47 +129,43 @@ def _seg_one_tile(rays_ref, org_ref, zr_ref, vol_ref, out_ref, slab, state,
     pend0 = org_ref[tile, t_first]
 
     def advance():
-        for g in range(G):
-            b = 8 * g
-            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
-            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
-            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+        state[0 * G:1 * G, :] = state[0 * G:1 * G, :] + d[0]
+        state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
+        state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
     def substep(slot, oz_c, oy_c, step_idx, step_ok):
-        alive_acc = None
         t_f = step_idx.astype(jnp.float32)
-        for g in range(G):
-            b = 8 * g
-            px = state[b + 0:b + 1, :]
-            py = state[b + 1:b + 2, :]
-            pz = state[b + 2:b + 3, :]
-            C = state[b + 3:b + 4, :]
-            alpha = state[b + 4:b + 5, :]
-            tf = state[b + 6:b + 7, :]
-            inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                      & (pz > 0.0) & (pz < 1.0))
-            alive = (state[b + 5:b + 6, :] > 0.5) & inside & step_ok
-            # ownership: the trilinear anchor cell lies in the shard's box
-            # (the exact criterion of parallel/context.py _sample_local and
-            # parallel/bricks.py _sample_local3)
-            z0a = jnp.clip(jnp.floor(pz * fZ - 0.5), 0.0, fZ - 1.0)
-            y0a = jnp.clip(jnp.floor(py * fY - 0.5), 0.0, fY - 1.0)
-            owned = ((z0a >= zlo_f) & (z0a < zhi_f)
-                     & (y0a >= ylo_f) & (y0a < yhi_f))
-            comp = alive & owned
-            smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                              dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
-            pa = smp - smp * alpha
-            C = jnp.where(comp, C + pa * smp, C)
-            alpha = jnp.where(comp, alpha + pa * ALPHA_SCALE, alpha)
-            tf = jnp.where(comp, jnp.minimum(tf, t_f), tf)
-            # NO early-out: global alpha is unknown to a shard (module doc)
-            state[b + 3:b + 4, :] = C
-            state[b + 4:b + 5, :] = alpha
-            state[b + 5:b + 6, :] = jnp.where(alive, 1.0, 0.0)
-            state[b + 6:b + 7, :] = tf
-            alive_acc = alive if alive_acc is None else (alive_acc | alive)
-        return jnp.any(alive_acc)
+        px = state[0 * G:1 * G, :]
+        py = state[1 * G:2 * G, :]
+        pz = state[2 * G:3 * G, :]
+        C = state[3 * G:4 * G, :]
+        alpha = state[4 * G:5 * G, :]
+        tf = state[6 * G:7 * G, :]
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = (state[5 * G:6 * G, :] > 0.5) & inside & step_ok
+        # ownership: the trilinear anchor cell lies in the shard's box
+        # (the exact criterion of parallel/context.py _sample_local and
+        # parallel/bricks.py _sample_local3)
+        z0a = jnp.clip(jnp.floor(pz * fZ - 0.5), 0.0, fZ - 1.0)
+        y0a = jnp.clip(jnp.floor(py * fY - 0.5), 0.0, fY - 1.0)
+        owned = ((z0a >= zlo_f) & (z0a < zhi_f)
+                 & (y0a >= ylo_f) & (y0a < yhi_f))
+        comp = alive & owned
+        smp = jnp.concatenate(
+            [tent_sample(slab[slot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
+                         oz_c, oy_c, dims, WIN_Z, win_y=win_y)
+             for g in range(G)], axis=0) * (1.0 / 255.0)
+        pa = smp - smp * alpha
+        C = jnp.where(comp, C + pa * smp, C)
+        alpha = jnp.where(comp, alpha + pa * ALPHA_SCALE, alpha)
+        tf = jnp.where(comp, jnp.minimum(tf, t_f), tf)
+        # NO early-out: global alpha is unknown to a shard (module doc)
+        state[3 * G:4 * G, :] = C
+        state[4 * G:5 * G, :] = alpha
+        state[5 * G:6 * G, :] = jnp.where(alive, 1.0, 0.0)
+        state[6 * G:7 * G, :] = tf
+        return jnp.any(alive)
 
     def body(carry):
         pi, t_cur, cnt, _, pend, mask = carry
@@ -220,17 +218,12 @@ def _seg_one_tile(rays_ref, org_ref, zr_ref, vol_ref, out_ref, slab, state,
         _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
-    hit_acc = state[5:6, :]
-    for g in range(1, G):
-        hit_acc = hit_acc + state[8 * g + 5:8 * g + 6, :]
-    any0 = jnp.any(hit_acc > 0.5)
+    any0 = jnp.any(state[5 * G:6 * G, :] > 0.5)
     end = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
-    for g in range(G):
-        b = 8 * g
-        out_ref[tile, b + 0:b + 2, :] = state[b + 3:b + 5, :]
-        out_ref[tile, b + 2:b + 3, :] = state[b + 6:b + 7, :]
-        out_ref[tile, b + 3:b + 8, :] = jnp.zeros((5, 128), jnp.float32)
+    out_ref[tile, 0:2 * G, :] = state[3 * G:5 * G, :]
+    out_ref[tile, 2 * G:3 * G, :] = state[6 * G:7 * G, :]
+    out_ref[tile, 3 * G:8 * G, :] = jnp.zeros((5 * G, 128), jnp.float32)
     return end[5]
 
 
@@ -283,7 +276,7 @@ def launch_seg(rays_packed, words, vol_ext, zr, dims, max_samples,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )(rays_packed, words, zr, vol_pairs)
-    return out[:, 0::8, :], out[:, 1::8, :], out[:, 2::8, :]
+    return out[:, 0:G, :], out[:, G:2 * G, :], out[:, 2 * G:3 * G, :]
 
 
 def build_word_table_seg(mins, maxs, dims, win_z, max_samples, *, k,

@@ -72,9 +72,11 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     / word stream / march loop, as in
     ``raycast_kernel._march_one_tile_group``, including its cross-tile DMA
     pipeline protocol — P-slot first windows, pending-mask carry) with TF
-    scalars from SMEM and five gradient accumulator rows per group.  State
-    rows per group g at base 16g: +0-2 pos, +3 color, +4 alpha, +5 alive,
-    +6 R, +7 P, +8 QP, +9 SG, +10 SB."""
+    scalars from SMEM and five gradient accumulator blocks per group.
+
+    FIELD-MAJOR batched state (one (G, 128) VPU op per update instead of G
+    single-sublane ops): field f at rows [f*G, (f+1)*G) — 0 px, 1 py, 2 pz,
+    3 color, 4 alpha, 5 alive, 6 R, 7 P, 8 QP, 9 SG, 10 SB."""
     X, Y, Z = dims
     WIN_Z = win_z
     END = -(-max_samples // k)  # ceil: last group may be partial (masked)
@@ -83,18 +85,18 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     Gc = tf_ref[0, 1]
     B = tf_ref[0, 2]
 
-    e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
-         for g in range(G)]
-    d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
-         for g in range(G)]
-    for g in range(G):
-        b = 16 * g
-        state[b + 0:b + 1, :] = e[g][0] + d[g][0]
-        state[b + 1:b + 2, :] = e[g][1] + d[g][1]
-        state[b + 2:b + 3, :] = e[g][2] + d[g][2]
-        state[b + 3:b + 5, :] = jnp.zeros((2, 128), jnp.float32)
-        state[b + 5:b + 6, :] = rays_ref[tile, 8 * g + 6:8 * g + 7, :]
-        state[b + 6:b + 11, :] = jnp.zeros((5, 128), jnp.float32)
+    e = [jnp.concatenate([rays_ref[tile, 8 * g + i:8 * g + i + 1, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
+                          for g in range(G)], axis=0) for i in range(3)]
+    hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+                            for g in range(G)], axis=0)
+    state[0 * G:1 * G, :] = e[0] + d[0]
+    state[1 * G:2 * G, :] = e[1] + d[1]
+    state[2 * G:3 * G, :] = e[2] + d[2]
+    state[3 * G:5 * G, :] = jnp.zeros((2 * G, 128), jnp.float32)
+    state[5 * G:6 * G, :] = hit0
+    state[6 * G:11 * G, :] = jnp.zeros((5 * G, 128), jnp.float32)
 
     dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
@@ -110,50 +112,46 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
     pend0 = org_ref[tile, t_first]
 
     def advance():
-        for g in range(G):
-            b = 16 * g
-            state[b + 0:b + 1, :] = state[b + 0:b + 1, :] + d[g][0]
-            state[b + 1:b + 2, :] = state[b + 1:b + 2, :] + d[g][1]
-            state[b + 2:b + 3, :] = state[b + 2:b + 3, :] + d[g][2]
+        state[0 * G:1 * G, :] = state[0 * G:1 * G, :] + d[0]
+        state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
+        state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
     def substep(slot, oz_c, oy_c, step_ok):
-        alive_acc = None
-        for g in range(G):
-            b = 16 * g
-            px = state[b + 0:b + 1, :]
-            py = state[b + 1:b + 2, :]
-            pz = state[b + 2:b + 3, :]
-            color = state[b + 3:b + 4, :]
-            alpha = state[b + 4:b + 5, :]
-            inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                      & (pz > 0.0) & (pz < 1.0))
-            alive = (state[b + 5:b + 6, :] > 0.5) & inside & step_ok
-            smp = tent_sample(slab[slot], px, py, pz, oz_c, oy_c,
-                              dims, WIN_Z, win_y=win_y) * (1.0 / 255.0)
-            sc = smp * Gc + B
-            pa = smp - smp * alpha
-            r = smp / jnp.maximum(1.0 - K * smp, 1e-12)
-            # prefix P BEFORE the alpha update (a_u = pre-update alpha),
-            # then QP against the inclusive prefix
-            P = state[b + 7:b + 8, :] + jnp.where(
-                alive, smp * sc * (1.0 - alpha), 0.0)
-            state[b + 7:b + 8, :] = P
-            state[b + 6:b + 7, :] = state[b + 6:b + 7, :] + jnp.where(
-                alive, r, 0.0)
-            state[b + 8:b + 9, :] = state[b + 8:b + 9, :] + jnp.where(
-                alive, r * P, 0.0)
-            state[b + 9:b + 10, :] = state[b + 9:b + 10, :] + jnp.where(
-                alive, pa * smp, 0.0)
-            state[b + 10:b + 11, :] = state[b + 10:b + 11, :] + jnp.where(
-                alive, pa, 0.0)
-            color = jnp.where(alive, color + pa * sc, color)
-            alpha = jnp.where(alive, alpha + pa * K, alpha)
-            alive = alive & (alpha <= EARLY_OUT_ALPHA)
-            state[b + 3:b + 4, :] = color
-            state[b + 4:b + 5, :] = alpha
-            state[b + 5:b + 6, :] = jnp.where(alive, 1.0, 0.0)
-            alive_acc = alive if alive_acc is None else (alive_acc | alive)
-        return jnp.any(alive_acc)  # ONE cross-lane reduce per substep
+        px = state[0 * G:1 * G, :]
+        py = state[1 * G:2 * G, :]
+        pz = state[2 * G:3 * G, :]
+        color = state[3 * G:4 * G, :]
+        alpha = state[4 * G:5 * G, :]
+        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
+                  & (pz > 0.0) & (pz < 1.0))
+        alive = (state[5 * G:6 * G, :] > 0.5) & inside & step_ok
+        smp = jnp.concatenate(
+            [tent_sample(slab[slot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
+                         oz_c, oy_c, dims, WIN_Z, win_y=win_y)
+             for g in range(G)], axis=0) * (1.0 / 255.0)
+        sc = smp * Gc + B
+        pa = smp - smp * alpha
+        r = smp / jnp.maximum(1.0 - K * smp, 1e-12)
+        # prefix P BEFORE the alpha update (a_u = pre-update alpha), then
+        # QP against the inclusive prefix
+        P = state[7 * G:8 * G, :] + jnp.where(
+            alive, smp * sc * (1.0 - alpha), 0.0)
+        state[7 * G:8 * G, :] = P
+        state[6 * G:7 * G, :] = state[6 * G:7 * G, :] + jnp.where(
+            alive, r, 0.0)
+        state[8 * G:9 * G, :] = state[8 * G:9 * G, :] + jnp.where(
+            alive, r * P, 0.0)
+        state[9 * G:10 * G, :] = state[9 * G:10 * G, :] + jnp.where(
+            alive, pa * smp, 0.0)
+        state[10 * G:11 * G, :] = state[10 * G:11 * G, :] + jnp.where(
+            alive, pa, 0.0)
+        color = jnp.where(alive, color + pa * sc, color)
+        alpha = jnp.where(alive, alpha + pa * K, alpha)
+        alive = alive & (alpha <= EARLY_OUT_ALPHA)
+        state[3 * G:4 * G, :] = color
+        state[4 * G:5 * G, :] = alpha
+        state[5 * G:6 * G, :] = jnp.where(alive, 1.0, 0.0)
+        return jnp.any(alive)  # ONE cross-lane reduce per substep
 
     def body(carry):
         pi, t_cur, cnt, _, pend, mask = carry
@@ -205,20 +203,15 @@ def _tf_one_tile(rays_ref, org_ref, tf_ref, vol_ref, out_ref, slab, state,
         _, t_cur, _, any_alive, _, _ = carry
         return (t_cur < END) & any_alive
 
-    hit_acc = state[5:6, :]
-    for g in range(1, G):
-        hit_acc = hit_acc + state[16 * g + 5:16 * g + 6, :]
-    any0 = jnp.any(hit_acc > 0.5)
+    any0 = jnp.any(state[5 * G:6 * G, :] > 0.5)
     end = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
-    # out rows per group g: 8g+0 color_T, 8g+1 alpha_T, 8g+2..6 the five
-    # accumulators (R, P_total, QP, SG, SB), 8g+7 zero pad
-    for g in range(G):
-        b = 16 * g
-        out_ref[tile, 8 * g + 0:8 * g + 2, :] = state[b + 3:b + 5, :]
-        out_ref[tile, 8 * g + 2:8 * g + 7, :] = state[b + 6:b + 11, :]
-        out_ref[tile, 8 * g + 7:8 * g + 8, :] = jnp.zeros((1, 128),
-                                                          jnp.float32)
+    # FIELD-MAJOR out rows: field f at [f*G, (f+1)*G) — 0 color_T,
+    # 1 alpha_T, 2..6 the five accumulators (R, P_total, QP, SG, SB),
+    # 7 zero pad (see tf_rows)
+    out_ref[tile, 0:2 * G, :] = state[3 * G:5 * G, :]
+    out_ref[tile, 2 * G:7 * G, :] = state[6 * G:11 * G, :]
+    out_ref[tile, 7 * G:8 * G, :] = jnp.zeros((G, 128), jnp.float32)
     return end[5]
 
 
@@ -263,9 +256,9 @@ def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
 
 
 def tf_rows(out, H, W, G):
-    """Untile the 7 per-ray TF kernel outputs (out row 8g+i = field i of lane
-    group g) into (H, W) images."""
-    return [_untile(out[:, i::8, :], H, W, G) for i in range(7)]
+    """Untile the 7 per-ray TF kernel outputs (FIELD-MAJOR out rows: field i
+    of lane group g at row i*G + g) into (H, W) images."""
+    return [_untile(out[:, i * G:(i + 1) * G, :], H, W, G) for i in range(7)]
 
 
 def render_tf_grads_pallas(params: TFParams, volume, plan: CompositingPlan,

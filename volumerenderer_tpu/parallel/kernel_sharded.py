@@ -50,19 +50,19 @@ def plan_shardable(plan: CompositingPlan, n: int) -> bool:
 
 def _build_sharded_render(mesh: Mesh, plan: CompositingPlan, axis: str,
                           narrow: bool):
-    """Jitted sharded render for a (mesh, plan) pair.  The WHOLE shard_map is
-    staged under one ``jax.jit``: running shard_map eagerly dispatches every
-    body primitive separately, which (a) is slow and (b) deadlocks CPU
-    interpret mode — the pallas io_callbacks re-enter JAX while competing
-    eager dispatches occupy the devices (round-4 diagnosis of the round-3
-    sharded-TF hang)."""
+    """Jitted sharded render for a (mesh, plan) pair.  EVERYTHING — the
+    shard_map AND the global untile/transfer — is staged under ONE
+    ``jax.jit``: eager dispatches issued while an (interpret-mode) pallas
+    program is still in flight deadlock against its io_callbacks, and eager
+    shard_map additionally dispatches every body primitive separately
+    (round-4 diagnosis of the round-3 sharded-TF hang)."""
     specs_in = (P(axis), P(axis), P(axis), P()) if narrow \
         else (P(axis), P(axis), P())
+    H, W = plan.shape
 
-    @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=specs_in,
              out_specs=(P(axis), P(axis)), check_vma=False)
-    def _render(*args):
+    def _march(*args):
         if narrow:
             rays_l, words_l, xwords_l, vol = args
         else:
@@ -71,6 +71,13 @@ def _build_sharded_render(mesh: Mesh, plan: CompositingPlan, axis: str,
         return _launch(rays_l, words_l, vol, plan.dims, plan.max_samples,
                        win_z=plan.win_z, group=plan.group, xwords=xwords_l,
                        win_y=plan.win_y, lanes=plan.lanes)
+
+    @jax.jit
+    def _render(*args):
+        color, alpha = _march(*args)
+        color = _untile(color, H, W, plan.lanes)
+        alpha = _untile(alpha, H, W, plan.lanes)
+        return apply_reference_transfer(color, alpha), alpha
 
     return _render
 
@@ -105,10 +112,7 @@ def render_planned_sharded(mesh: Mesh, plan: CompositingPlan, volume,
 
     operands = (plan.rays_packed, words, plan.xwords, volume) if narrow \
         else (plan.rays_packed, words, volume)
-    color, alpha = _render(*operands)
-    color = _untile(color, H, W, plan.lanes)
-    alpha = _untile(alpha, H, W, plan.lanes)
-    return apply_reference_transfer(color, alpha), alpha
+    return _render(*operands)
 
 
 def tf_fit_step_kernel(mesh: Mesh, plan: CompositingPlan, params: TFParams,
@@ -249,7 +253,6 @@ def render_zsharded_kernel(mesh: Mesh, plan: CompositingPlan, volume,
     key = (id(mesh), id(plan), axis, "z")
     cached = _SEG_RENDER_CACHE.get(key)
     if cached is None:
-        @jax.jit
         @partial(shard_map, mesh=mesh, in_specs=(P(axis), P(), P(), P()),
                  out_specs=(P(axis),) * 3, check_vma=False)
         def _march(slab, rays_packed, mins, maxs):
@@ -266,10 +269,14 @@ def render_zsharded_kernel(mesh: Mesh, plan: CompositingPlan, volume,
                                   lanes=plan.lanes)
             return C[None], A[None], tf[None]
 
-        _SEG_RENDER_CACHE[key] = (_march, mesh, plan)
+        @jax.jit  # one jit staging march + composite: see _build_sharded_render
+        def _render(volume, rays_packed, mins, maxs):
+            C_t, A_t, tf_t = _march(volume, rays_packed, mins, maxs)
+            return _seg_composite(C_t, A_t, tf_t, plan)
+
+        _SEG_RENDER_CACHE[key] = (_render, mesh, plan)
         cached = _SEG_RENDER_CACHE[key]
-    C_t, A_t, tf_t = cached[0](volume, plan.rays_packed, plan.mins, plan.maxs)
-    return _seg_composite(C_t, A_t, tf_t, plan)
+    return cached[0](volume, plan.rays_packed, plan.mins, plan.maxs)
 
 
 def render_bricksharded_kernel(mesh: Mesh, plan: CompositingPlan, volume):
@@ -294,7 +301,6 @@ def render_bricksharded_kernel(mesh: Mesh, plan: CompositingPlan, volume):
     key = (id(mesh), id(plan), "bzy")
     cached = _SEG_RENDER_CACHE.get(key)
     if cached is None:
-        @jax.jit
         @partial(shard_map, mesh=mesh,
                  in_specs=(P("bz", "by", "bx"), P(), P(), P()),
                  out_specs=(P(("bz", "by", "bx")),) * 3, check_vma=False)
@@ -321,10 +327,14 @@ def render_bricksharded_kernel(mesh: Mesh, plan: CompositingPlan, volume):
                                   lanes=plan.lanes)
             return C[None], A[None], tf[None]
 
-        _SEG_RENDER_CACHE[key] = (_march, mesh, plan)
+        @jax.jit  # one jit staging march + composite: see _build_sharded_render
+        def _render(volume, rays_packed, mins, maxs):
+            C_t, A_t, tf_t = _march(volume, rays_packed, mins, maxs)
+            return _seg_composite(C_t, A_t, tf_t, plan)
+
+        _SEG_RENDER_CACHE[key] = (_render, mesh, plan)
         cached = _SEG_RENDER_CACHE[key]
-    C_t, A_t, tf_t = cached[0](volume, plan.rays_packed, plan.mins, plan.maxs)
-    return _seg_composite(C_t, A_t, tf_t, plan)
+    return cached[0](volume, plan.rays_packed, plan.mins, plan.maxs)
 
 
 def scaling_probe_kernel(mesh: Mesh, plan: CompositingPlan, volume,
