@@ -45,15 +45,20 @@ def orbit_camera(az_deg: float, width: int, height: int):
     return Camera(width=width, height=height, position=pos, front=front)
 
 
-def _time_sweep(sweep_fn, *args, reps: int = 3):
-    """min over ``reps`` of one forced sweep (seconds per frame)."""
+def _time_sweep(sweep_fn, *args, reps: int = 3, n_frames: int = N_FRAMES):
+    """min over ``reps`` of one forced sweep (seconds per frame).
+
+    ``n_frames`` MUST match the number of frames the sweep renders — a
+    round-4 ad-hoc probe divided an 8-frame sweep by the 16-frame default
+    and looked 2x faster than reality (docs/PERF_NOTES.md round-4
+    addendum)."""
     float(sweep_fn(*args))  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(sweep_fn(*args))
         times.append(time.perf_counter() - t0)
-    return min(times) / N_FRAMES
+    return min(times) / n_frames
 
 
 def _emit(metric, rays_per_s):
@@ -97,9 +102,10 @@ def bench_isosurface(vol, plans_iso):
                                           p.dims, n_pos, p.shade_k, win_zs,
                                           win_ys, pad_z, shift_y)
             G = p.lanes
+            hr = max(8, 2 * G)
             rows = [found_t, t_hit_t]
-            if G < 4:
-                rows.append(jnp.zeros((found_t.shape[0], 8 - 2 * G, 128),
+            if hr > 2 * G:
+                rows.append(jnp.zeros((found_t.shape[0], hr - 2 * G, 128),
                                       jnp.float32))
             hit_rows = jnp.concatenate(rows, axis=1)
             r_t, g_t, b_t = IK._launch_shade(

@@ -422,3 +422,25 @@ def test_interpret_voxel_grad_kernel_matches_o1(lane_groups):
         np.testing.assert_allclose(
             gk, gr, rtol=2e-4, atol=2e-4 * max(1.0, np.abs(gr).max()),
             err_msg=name)
+
+
+def test_interpret_g8_lane_groups_parity():
+    """The G=8 lane-group configuration (supported up to LANE_GROUPS_MAX;
+    8x128-px tiles, one window DMA per 1024 rays) matches the jnp renderer
+    exactly on an 8-bit grid.  G=8 is not the default (it lost the round-4
+    16-frame A/B) but remains a supported plan."""
+    rng = np.random.default_rng(13)
+    vol = as_normalized_volume(
+        np.round(rng.random((16, 16, 128)) * 255).astype(np.uint8))
+    Z, Y, X = vol.shape
+    rays = generate_rays(Camera(width=128, height=16))
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24, lane_groups=8)
+        assert plan.use_kernel and plan.lanes == 8, plan.lanes
+        rgb_k, a_k = plan.render(vol)
+    rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction,
+                                    rays.hit, max_samples=24)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)

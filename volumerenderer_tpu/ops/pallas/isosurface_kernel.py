@@ -29,13 +29,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import DELTA, DIFFUSE, MAX_SAMPLES, SPEC_POWER, phong
-from .raycast_kernel import (GROUP_KS, LANE_GROUPS_DEFAULT, T_PER, TILE_H,
+from .raycast_kernel import (GROUP_KS, LANE_GROUPS_MAX, T_PER, TILE_H,
                              TILE_W, WIN_Y, WIN_Z_GROUP_MAX, _first_group,
                              _footprint_scan, _group_cost, _pack_rays,
                              _pipelined_tiles, _t_per, _tile_loop, _untile,
                              _unpack_word, _window_dma, build_word_table,
                              build_word_table_group, choose_win_z,
                              group_unions, pack_pairs, tent_sample)
+
+
+ISO_LANE_GROUPS_DEFAULT = 4  # the iso march is sampling-row-bound (PERF_
+# NOTES round 4); wider tiles inflate union windows, and the shade pass's
+# hit-row packing caps at 2G <= 8 rows — keep G <= 4 pending a G=8 sweep
 
 
 def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab,
@@ -386,7 +391,7 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
     k = group
     t_per = _t_per(n_tiles)
     n_words = -(-n_pos // k)
-    assert k > 1 and 1 <= G <= 4, (k, G)
+    assert k > 1 and 1 <= G <= LANE_GROUPS_MAX, (k, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     vol_pairs = pack_pairs(volume)
@@ -404,9 +409,11 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, max(8, 2 * G), 128),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, max(8, 2 * G), 128),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, win_z, win_y, dims[0]), jnp.float32),
             pltpu.VMEM((8 * G, 128), jnp.float32),
@@ -518,7 +525,7 @@ class IsosurfacePlan:
         self.group = 1
         # the pooled launch still runs the per-step single-lane kernel
         if lane_groups is None:
-            G = 1 if pooled else LANE_GROUPS_DEFAULT
+            G = 1 if pooled else ISO_LANE_GROUPS_DEFAULT
             while G > 1 and W % (G * TILE_W) != 0:
                 G //= 2
         else:
@@ -647,9 +654,11 @@ class IsosurfacePlan:
         swords = build_shade_words(found_t, t_hit_t, self.mins, self.maxs,
                                    self.dims, n_pos, ks, win_zs,
                                    win_ys, pad_z, shift_y)
-        pad = jnp.zeros((found_t.shape[0], 8 - 2 * G, 128), jnp.float32) \
-            if G < 4 else None
-        rows = [found_t, t_hit_t] + ([pad] if pad is not None else [])
+        hr = max(8, 2 * G)
+        rows = [found_t, t_hit_t]
+        if hr > 2 * G:
+            rows.append(jnp.zeros((found_t.shape[0], hr - 2 * G, 128),
+                                  jnp.float32))
         hit_rows = jnp.concatenate(rows, axis=1)
         r_t, g_t, b_t = _launch_shade(self.rays_packed, swords, hit_rows,
                                       volume, iso255, self.dims, n_pos,
@@ -948,7 +957,7 @@ def _launch_shade(rays_packed, shade_words, hit_rows, volume, iso255, dims,
     t_per = _t_per(n_tiles)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert shade_words.shape == (n_tiles, P), (shade_words.shape, P)
-    assert hit_rows.shape == (n_tiles, 8, 128), hit_rows.shape
+    assert hit_rows.shape == (n_tiles, max(8, 2 * G), 128), hit_rows.shape
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_shade_kernel, dims=dims, n_pos=n_pos,
                                win_zs=win_zs, k=k, win_ys=win_ys,
@@ -961,7 +970,7 @@ def _launch_shade(rays_packed, shade_words, hit_rows, volume, iso255, dims,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_per, P), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((t_per, max(8, 2 * G), 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),

@@ -296,6 +296,8 @@ N_RING = 2  # group-march ring depth (issue-one-ahead; a depth-2/3-slot
 # variant measured ~2% SLOWER at the headline config — the extra word read
 # and carry cost more than the latency it hid, round-4 notes)
 
+LANE_GROUPS_MAX = 8  # kernel-supported ceiling (asserts/out-row sizing)
+
 
 def _march_tiles_group(rays_ref, org_ref, xorg_ref, map_ref, vol_ref, out_ref,
                        slab, state, sem, *, dims, max_samples, win_z,
@@ -705,7 +707,8 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
     n_words = (-(-max_samples // group)) if group > 1 else (max_samples + 1)
     narrow = xwords is not None
     t_per = _t_per(n_tiles)
-    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= LANE_GROUPS_MAX, \
+        rays_packed.shape
     assert G == 1 or group > 1, (G, group)
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert not narrow or group > 1
@@ -733,13 +736,14 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
         in_specs = [ray_spec, word_spec, pl.BlockSpec(memory_space=pl.ANY)]
         operands = (rays_packed, words, vol_pairs)
         slab_w = dims[0]
+    out_rows = max(8, 2 * G)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((t_per, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((t_per, out_rows, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, out_rows, 128), jnp.float32),
         scratch_shapes=[
             # group kernels ring through slots 0..N_RING-1
             # and prefetch the next tile's first window into the two P slots
@@ -768,7 +772,8 @@ def _launch_pooled(rays_packed, words, pool, slab_map, dims, max_samples,
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
     assert group > 1 and win_z <= POOL_WIN_Z_MAX, (group, win_z)
-    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= LANE_GROUPS_MAX, \
+        rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert pool.shape[1:] == (SLAB_H, Y, X // 2), pool.shape
     assert slab_map.shape == (1, Z // 8), slab_map.shape
@@ -1140,9 +1145,15 @@ def choose_win_z(span_z: int, cap: int = WIN_Z_MAX) -> int | None:
     return max(4, span_z)
 
 
-LANE_GROUPS_DEFAULT = 4   # vregs of 128 rays per tile (CompositingPlan auto)
+LANE_GROUPS_DEFAULT = 4   # vregs of 128 rays per tile (CompositingPlan auto
+# ladder).  G=8 was probed in round 4 (the kernels support it, see
+# LANE_GROUPS_MAX) and lost the controlled 16-frame A/B: G4+narrow 10.96
+# ms/frame vs G8-ladder+narrow 11.50 / G8 no-narrow 14.26 — the apparent
+# early G8 win was an unnormalized-frame-count artifact
+# (docs/PERF_NOTES.md round 4).
 GROUP_KS = (16, 8, 4, 2)  # candidate steps-per-window (besides 1)
 WIN_Z_GROUP_MAX = 24      # group windows may be taller than per-step ones
+G8_WIN_Z_CAP = 17         # 8-lane-group windows past this lose to G=4 ones
 F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
 C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
 
@@ -1200,7 +1211,7 @@ class CompositingPlan:
 
     def __init__(self, entry_uv, direction, hit, dims,
                  max_samples: int = MAX_SAMPLES, pooled: bool = False,
-                 lane_groups: int | None = None):
+                 lane_groups: int | None = None, _ladder=None):
         self.entry_uv = entry_uv
         self.direction = direction
         self.hit = hit
@@ -1216,13 +1227,18 @@ class CompositingPlan:
         self.xwords = None
         # lane groups: G vregs of 128 rays per tile sharing one window DMA,
         # word stream, and march loop — per-tile scalar overhead (the
-        # dominant cost at the headline config, docs/PERF_NOTES.md round 3)
-        # amortizes over G*128 rays at the price of slightly larger union
-        # windows.  Auto: the widest supported G <= LANE_GROUPS_DEFAULT.
+        # dominant cost at the headline config, docs/PERF_NOTES.md rounds
+        # 3-4) amortizes over G*128 rays at the price of larger union
+        # windows.  Auto: try the widest supported G <= LANE_GROUPS_DEFAULT
+        # and step down the ladder when a G's windows exceed the caps.
         if lane_groups is None:
-            G = LANE_GROUPS_DEFAULT
-            while G > 1 and W % (G * TILE_W) != 0:
-                G //= 2
+            if _ladder is None:
+                g, _ladder = LANE_GROUPS_DEFAULT, []
+                while g >= 1:
+                    if W % (g * TILE_W) == 0:
+                        _ladder.append(g)
+                    g //= 2
+            G = _ladder[0] if _ladder else 1
         else:
             G = int(lane_groups)
         self.lanes = G
@@ -1239,7 +1255,12 @@ class CompositingPlan:
             self.maxs = maxs
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
             span_y, span_z = int(spans[0]), int(spans[1])
-            wz_cap = POOL_WIN_Z_MAX if pooled else WIN_Z_GROUP_MAX
+            # measured crossover (round 4, headline orbit): 8-lane-group
+            # tiles beat 4-lane-group ones up to win_z ~17 (6.3 vs 10.9
+            # ms/frame) and lose beyond (~19 ms at win_z 18-23) — cap G=8
+            # windows there so oblique frames ladder down to G=4
+            wz_cap = POOL_WIN_Z_MAX if pooled else (
+                G8_WIN_Z_CAP if G >= 8 else WIN_Z_GROUP_MAX)
 
             def wy_for(sy):  # smallest window height covering the footprint
                 if sy <= 8 and Y % 8 == 0 and Y >= 8:
@@ -1277,10 +1298,11 @@ class CompositingPlan:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples, k=k)
         self.use_kernel = self.win_z is not None
-        if not self.use_kernel and lane_groups is None and G > 1:
-            # wide-tile footprints exceeded the window caps — retry narrower
+        if not self.use_kernel and lane_groups is None and len(_ladder) > 1:
+            # wide-tile footprints exceeded the window caps — step down the
+            # lane-group ladder (e.g. 8 -> 4 -> 2 -> 1)
             self.__init__(entry_uv, direction, hit, dims, max_samples,
-                          pooled, lane_groups=1)
+                          pooled, lane_groups=None, _ladder=_ladder[1:])
             return
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,

@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..raycast import ALPHA_SCALE
-from .raycast_kernel import (T_PER, WIN_Y, _first_group, _pipelined_tiles,
+from .raycast_kernel import (LANE_GROUPS_MAX, T_PER, WIN_Y, _first_group,
+                             _pipelined_tiles,
                              _t_per, _unpack_word, group_unions, pack_pairs,
                              tent_sample)
 
@@ -247,7 +248,7 @@ def launch_seg(rays_packed, words, vol_ext, zr, dims, max_samples,
     G = lanes
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
-    assert group > 1 and 1 <= G <= 4, (group, G)
+    assert group > 1 and 1 <= G <= LANE_GROUPS_MAX, (group, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     assert vol_ext.shape[0] >= win_z and vol_ext.shape[1] >= win_y, \

@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...diff.transfer import TFParams
 from ..raycast import EARLY_OUT_ALPHA
-from .raycast_kernel import (T_PER, WIN_Y, CompositingPlan, _first_group,
+from .raycast_kernel import (LANE_GROUPS_MAX, T_PER, WIN_Y,
+                             CompositingPlan, _first_group,
                              _pipelined_tiles, _t_per, _unpack_word, _untile,
                              _window_dma, pack_pairs, tent_sample)
 
@@ -225,7 +226,8 @@ def _launch_tf(rays_packed, words, volume, tf_scalars, dims, max_samples,
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
     assert group > 1, group
-    assert rays_packed.shape[1] == 8 * G and 1 <= G <= 4, rays_packed.shape
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= LANE_GROUPS_MAX, \
+        rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
     vol_pairs = pack_pairs(volume)
     kernel = functools.partial(_tf_kernel, dims=dims,

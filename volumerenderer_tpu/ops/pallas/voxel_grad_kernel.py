@@ -48,7 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..raycast import EARLY_OUT_ALPHA
 from ...diff.transfer import TFParams
-from .raycast_kernel import (T_PER, WIN_Y, _first_group, _pipelined_tiles,
+from .raycast_kernel import (LANE_GROUPS_MAX, T_PER, WIN_Y, _first_group,
+                             _pipelined_tiles,
                              _t_per, _tile_lanes, _unpack_word, _window_dma,
                              pack_pairs, tent_sample)
 from .tf_kernel import render_tf_grads_pallas
@@ -271,7 +272,7 @@ def _launch_vg(rays_packed, cot_rows, words, volume, tf_scalars, dims,
     n_words = -(-max_samples // group)
     t_per = _t_per(n_tiles)
     X, Y, Z = dims
-    assert group > 1 and 1 <= G <= 4, (group, G)
+    assert group > 1 and 1 <= G <= LANE_GROUPS_MAX, (group, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert cot_rows.shape == (n_tiles, 8 * G, 128), cot_rows.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
