@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +53,38 @@ def config1():
 
 
 def config2(brick):
+    """Single 256^3 brick, dense raycast + isosurface shading at 512^2 —
+    through the Pallas kernel paths when they serve the config (TPU), the
+    jnp renderers otherwise."""
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import IsosurfacePlan
+    from volumerenderer_tpu.ops.pallas.raycast_kernel import CompositingPlan
+
     vol = as_normalized_volume(brick)
+    Z, Y, X = vol.shape
     rays = generate_rays(Camera(width=512, height=512))
-    dt_c, _ = timed(lambda: float(jnp.sum(
-        render_compositing(vol, rays.entry_uv, rays.direction, rays.hit)[0])))
-    dt_i, _ = timed(lambda: float(jnp.sum(
-        render_isosurface(vol, rays.entry_uv, rays.direction, rays.hit)[0])))
-    emit(2, compositing_rays_per_s=512 * 512 / dt_c,
-         isosurface_rays_per_s=512 * 512 / dt_i)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    cplan = CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                            (X, Y, Z)) if on_tpu else None
+    if cplan is not None and cplan.use_kernel:
+        dt_c, _ = timed(lambda: float(jnp.sum(cplan.render(vol)[0])))
+        cpath = "kernel"
+    else:
+        dt_c, _ = timed(lambda: float(jnp.sum(render_compositing(
+            vol, rays.entry_uv, rays.direction, rays.hit)[0])))
+        cpath = "jnp"
+    iplan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                           (X, Y, Z)) if on_tpu else None
+    if iplan is not None and iplan.use_kernel and iplan.group > 1:
+        words = iplan.bind(vol)
+        dt_i, _ = timed(lambda: float(jnp.sum(
+            iplan.render(vol, words=words)[0])))
+        ipath = "kernel"
+    else:
+        dt_i, _ = timed(lambda: float(jnp.sum(render_isosurface(
+            vol, rays.entry_uv, rays.direction, rays.hit)[0])))
+        ipath = "jnp"
+    emit(2, compositing_rays_per_s=512 * 512 / dt_c, compositing_path=cpath,
+         isosurface_rays_per_s=512 * 512 / dt_i, isosurface_path=ipath)
 
 
 def config3(brick):

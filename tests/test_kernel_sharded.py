@@ -184,3 +184,49 @@ def test_bricksharded_kernel_matches_jnp():
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_j),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_j), atol=1e-5)
+
+
+def test_sharded_voxel_fit_step_matches_single_device(n=4):
+    """voxel_fit_step_kernel (per-shard TF forward + voxel-grad kernel pass
+    + psum of the (Z, Y, X) cotangent volume) == the single-device
+    make_render_tf_voxel step: same params, same new volume, same loss."""
+    from volumerenderer_tpu.diff.transfer import TFParams
+    from volumerenderer_tpu.ops.pallas.voxel_grad_kernel import (
+        make_render_tf_voxel)
+    from volumerenderer_tpu.parallel.kernel_sharded import (
+        voxel_fit_step_kernel)
+
+    vol = _volume()
+    rays = _rays()
+    Z, Y, X = vol.shape
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random(rays.entry_uv.shape[:-1] + (3,)),
+                         jnp.float32)
+    params = TFParams.reference()
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        new_p, new_v, loss_s = voxel_fit_step_kernel(
+            _mesh(n), plan, params, vol, target, lr_vol=0.1, lr_tf=1e-2)
+        jax.block_until_ready(new_v)
+
+        f = make_render_tf_voxel(plan)
+
+        def loss_fn(p, v):
+            rgb, _ = f(p, v)
+            return jnp.mean((rgb - target) ** 2)
+
+        loss_1, (gp, gv) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(params, vol)
+        ref_p = jax.tree.map(lambda p, g: p - 1e-2 * g, params, gp)
+        ref_v = jnp.clip(vol - 0.1 * gv, 0.0, 1.0)
+        jax.block_until_ready(ref_v)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_v), np.asarray(ref_v),
+                               rtol=1e-4, atol=1e-6)
+    for name in TFParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_p, name)),
+            np.asarray(getattr(ref_p, name)), rtol=1e-4, atol=1e-6,
+            err_msg=name)

@@ -35,9 +35,9 @@ from ..ops.pallas.raycast_kernel import (TILE_H, CompositingPlan, _launch,
 from ..ops.pallas.tf_kernel import _launch_tf, tf_rows
 
 __all__ = ["render_planned_sharded", "tf_fit_step_kernel",
-           "scaling_probe_kernel", "plan_shardable",
-           "render_zsharded_kernel", "render_bricksharded_kernel",
-           "seg_plan_ok"]
+           "voxel_fit_step_kernel", "scaling_probe_kernel",
+           "plan_shardable", "render_zsharded_kernel",
+           "render_bricksharded_kernel", "seg_plan_ok"]
 
 
 def plan_shardable(plan: CompositingPlan, n: int) -> bool:
@@ -182,6 +182,81 @@ def _build_tf_fit_step(mesh: Mesh, plan: CompositingPlan, axis: str):
         return new_params, loss
 
     return _step
+
+
+_VOXEL_FIT_STEP_CACHE: dict = {}
+
+
+def voxel_fit_step_kernel(mesh: Mesh, plan: CompositingPlan, params: TFParams,
+                          volume, target_rgb, lr_vol: float = 1e-1,
+                          lr_tf: float = 1e-2, axis: str = "rays"):
+    """One SGD step optimizing the VOXEL GRID (and the TF params) with image
+    rows sharded over ``axis`` — the north star's full composition: each
+    device runs the single-pass TF-gradient kernel forward plus ONE
+    voxel-grad kernel pass (``ops/pallas/voxel_grad_kernel.py``) on its
+    tiles, and the per-voxel cotangent volumes all-reduce with ``psum``
+    alongside the closed-form TF-parameter scalars.
+
+    Returns (new_params, new_volume, loss), all replicated.  The voxel pass
+    runs the DENSE word table (zero voxels still carry gradient — see the
+    voxel-grad kernel's module docstring)."""
+    from ..ops.pallas.voxel_grad_kernel import _launch_vg, pack_cot_rows
+
+    n = mesh.shape[axis]
+    assert plan_shardable(plan, n), (plan.shape, n)
+    assert plan.group > 1, "kernel fit needs a grouped plan"
+
+    key = (id(mesh), id(plan), axis, "vox")
+    cached = _VOXEL_FIT_STEP_CACHE.get(key)
+    if cached is None:
+        H, W = plan.shape
+        npix = float(H * W * 3)
+
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(axis), P(axis), P(), P(axis), P(), P()),
+                 out_specs=(P(), P(), P()), check_vma=False)
+        def _step(params, rays_l, words_l, vol, target_l, lr_v, lr_t):
+            tf_scalars = jnp.stack([params.alpha_scale, params.color_gain,
+                                    params.color_bias]).reshape(1, 3)
+            out = _launch_tf(rays_l, words_l, vol, tf_scalars, plan.dims,
+                             plan.max_samples, win_z=plan.win_z,
+                             group=plan.group, win_y=plan.win_y,
+                             lanes=plan.lanes)
+            Hl = target_l.shape[0]
+            color_T, alpha_T, R, P_tot, QP, SG, SB = tf_rows(out, Hl, W,
+                                                             plan.lanes)
+            rgb = params.flip_sign * color_T[..., None] + params.flip_bias
+            resid = rgb - target_l
+            local_loss = jnp.sum(resid * resid)
+            g_rgb = 2.0 * resid / npix
+            gc = jnp.sum(g_rgb * params.flip_sign, axis=-1)
+            gk = jnp.sum(-gc * (P_tot * R - QP))  # gaT = 0 for this loss
+            gG = jnp.sum(gc * SG)
+            gB = jnp.sum(gc * SB)
+            g_flip_sign = jnp.sum(g_rgb * color_T[..., None], axis=(0, 1))
+            g_flip_bias = jnp.sum(g_rgb, axis=(0, 1))
+            grads = TFParams(alpha_scale=gk, color_gain=gG, color_bias=gB,
+                             flip_sign=g_flip_sign, flip_bias=g_flip_bias)
+            # voxel cotangents: one voxel-grad kernel pass on this shard's
+            # tiles (gaT term = 0), then psum the (Z, Y, X) volume
+            cot = pack_cot_rows(gc, jnp.zeros_like(gc), P_tot, plan.lanes)
+            g_vol = _launch_vg(rays_l, cot, words_l, vol, tf_scalars,
+                               plan.dims, plan.max_samples,
+                               win_z=plan.win_z, group=plan.group,
+                               win_y=plan.win_y, lanes=plan.lanes)
+            loss = jax.lax.psum(local_loss, axis) / npix
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+            g_vol = jax.lax.psum(g_vol, axis)
+            new_params = jax.tree.map(lambda p, g: p - lr_t * g, params,
+                                      grads)
+            new_vol = jnp.clip(vol - lr_v * g_vol, 0.0, 1.0)
+            return new_params, new_vol, loss
+
+        _VOXEL_FIT_STEP_CACHE[key] = (_step, mesh, plan)
+        cached = _VOXEL_FIT_STEP_CACHE[key]
+    return cached[0](params, plan.rays_packed, plan.words_dense, volume,
+                     target_rgb, jnp.float32(lr_vol), jnp.float32(lr_tf))
 
 
 def _extend_axis_h(slab, axis_name: str, n: int, axis: int, h: int):
