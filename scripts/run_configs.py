@@ -185,7 +185,7 @@ def config5(source, grid, width=1024):
         make_render_tf_kernel, tf_fit_step_fast)
     from volumerenderer_tpu.parallel.kernel_sharded import (
         plan_shardable, render_bricksharded_kernel, seg_plan_ok,
-        tf_fit_step_kernel)
+        tf_fit_step_bricksharded, tf_fit_step_kernel)
     from volumerenderer_tpu.parallel.bricks import make_brick_mesh, shard_volume
     from jax.sharding import Mesh
 
@@ -228,8 +228,15 @@ def config5(source, grid, width=1024):
             rgb, _ = render_compositing(vol, rays.entry_uv, rays.direction,
                                         rays.hit, max_samples=64)
         float(jnp.sum(rgb))
-        # TF-gradient step per timestep, psum-all-reduced when sharded
-        if rmesh is not None:
+        # TF-gradient step per timestep, all-reduced when sharded: from the
+        # BRICK-SHARDED layout itself when a brick mesh exists (the full
+        # config-5 composition: segment+TF kernel per brick + affine
+        # cross-shard accumulator composition), rays-sharded psum otherwise
+        if bmesh is not None:
+            params, loss = tf_fit_step_bricksharded(bmesh, plan, params,
+                                                    shard_volume(bmesh, vol),
+                                                    target, lr=0.05)
+        elif rmesh is not None:
             params, loss = tf_fit_step_kernel(rmesh, plan, params, vol,
                                               target, lr=0.05)
         elif f is not None:
@@ -246,7 +253,8 @@ def config5(source, grid, width=1024):
     dt = time.perf_counter() - t0
     assert all(np.isfinite(losses)), losses
     emit(5, timesteps=n, total_s=dt, per_timestep_s=dt / n, width=width,
-         grad_losses=losses, grad_psum=bool(rmesh is not None),
+         grad_losses=losses,
+         grad_allreduce=bool(bmesh is not None or rmesh is not None),
          layout="bricksharded_kernel(2,2)" if bmesh is not None
          else ("kernel_1chip" if kernel_ok else "jnp"))
 

@@ -230,3 +230,46 @@ def test_sharded_voxel_fit_step_matches_single_device(n=4):
             np.asarray(getattr(new_p, name)),
             np.asarray(getattr(ref_p, name)), rtol=1e-4, atol=1e-6,
             err_msg=name)
+
+
+def test_bricksharded_tf_fit_matches_single_device():
+    """TF gradients through the BRICK-SHARDED layout: the segment+TF kernel
+    per brick + affine cross-shard composition (compose_tf_segments) equals
+    the single-device kernel fit step.  Dim volume (x0.25) so the
+    single-device early-out never fires (the sharded path cannot see global
+    alpha — parallel/context.py exactness caveat)."""
+    from volumerenderer_tpu.diff.transfer import TFParams
+    from volumerenderer_tpu.ops.pallas.tf_kernel import (
+        make_render_tf_kernel, tf_fit_step_fast)
+    from volumerenderer_tpu.parallel.bricks import make_brick_mesh, shard_volume
+    from volumerenderer_tpu.parallel.kernel_sharded import (
+        seg_plan_ok, tf_fit_step_bricksharded)
+
+    vol = _seg_volume() * 0.25
+    Z, Y, X = vol.shape
+    rays = _rays()
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.random(rays.entry_uv.shape[:-1] + (3,)),
+                         jnp.float32)
+    params = TFParams(alpha_scale=jnp.float32(0.45),
+                      color_gain=jnp.float32(0.9),
+                      color_bias=jnp.float32(0.05),
+                      flip_sign=jnp.array([-0.8, 0.6, 0.3], jnp.float32),
+                      flip_bias=jnp.array([0.9, 0.2, 0.4], jnp.float32))
+    mesh = make_brick_mesh((2, 2, 1))
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        assert seg_plan_ok(plan, 2, Z // 2, 2, Y // 2)
+        new_s, loss_s = tf_fit_step_bricksharded(
+            mesh, plan, params, shard_volume(mesh, vol), target, lr=1e-2)
+        jax.block_until_ready(new_s)
+        f = make_render_tf_kernel(plan)
+        new_1, loss_1 = tf_fit_step_fast(f, params, vol, target, lr=1e-2)
+    np.testing.assert_allclose(float(loss_s), float(loss_1), rtol=1e-5)
+    for name in TFParams._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_s, name)),
+            np.asarray(getattr(new_1, name)), rtol=1e-4, atol=1e-6,
+            err_msg=name)

@@ -35,9 +35,10 @@ from ..ops.pallas.raycast_kernel import (TILE_H, CompositingPlan, _launch,
 from ..ops.pallas.tf_kernel import _launch_tf, tf_rows
 
 __all__ = ["render_planned_sharded", "tf_fit_step_kernel",
-           "voxel_fit_step_kernel", "scaling_probe_kernel",
-           "plan_shardable", "render_zsharded_kernel",
-           "render_bricksharded_kernel", "seg_plan_ok"]
+           "voxel_fit_step_kernel", "tf_fit_step_bricksharded",
+           "scaling_probe_kernel", "plan_shardable",
+           "render_zsharded_kernel", "render_bricksharded_kernel",
+           "seg_plan_ok"]
 
 
 def plan_shardable(plan: CompositingPlan, n: int) -> bool:
@@ -185,6 +186,102 @@ def _build_tf_fit_step(mesh: Mesh, plan: CompositingPlan, axis: str):
 
 
 _VOXEL_FIT_STEP_CACHE: dict = {}
+_TF_BRICK_FIT_CACHE: dict = {}
+
+
+def tf_fit_step_bricksharded(mesh: Mesh, plan: CompositingPlan,
+                             params: TFParams, volume, target_rgb,
+                             lr: float = 1e-2):
+    """One TF-fit SGD step with the VOLUME brick-sharded (mesh axes
+    ("bz", "by", "bx"), bx == 1) — gradients for volumes too large for one
+    chip's HBM, the full BASELINE config-5 composition:
+
+    * each shard marches the segment+TF kernel on its brick
+      (``ops/pallas/seg_kernel.launch_seg_tf``) over its per-shard word
+      table;
+    * the per-shard closed-form accumulators compose affinely in per-ray
+      traversal order (``compose_tf_segments``) into exactly the global
+      partials of the unsharded TF kernel, and the parameter gradients
+      follow the same formulas — the cross-shard "all-reduce" is the
+      segment composition itself (XLA inserts the collectives from the
+      shardings).
+
+    No early-out inside shards (global alpha is unknown to a shard — the
+    ``parallel/context.py`` exactness caveat applies).  Returns
+    (new_params, loss) replicated."""
+    from ..ops.pallas.seg_kernel import (Y_HALO, build_word_table_seg,
+                                         compose_tf_segments, launch_seg_tf)
+
+    Z, Y, X = volume.shape
+    nbz, nby, nbx = mesh.shape["bz"], mesh.shape["by"], mesh.shape["bx"]
+    assert nbx == 1, "x stays resident in the kernel path"
+    Sz, Sy = Z // nbz, Y // nby
+    assert seg_plan_ok(plan, nbz, Sz, nby, Sy), \
+        (plan.win_z, plan.win_y, Sz, Sy)
+
+    key = (id(mesh), id(plan), "tfbrick")
+    cached = _TF_BRICK_FIT_CACHE.get(key)
+    if cached is None:
+        H, W = plan.shape
+        G = plan.lanes
+        npix = float(H * W * 3)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P("bz", "by", "bx"), P(), P(), P()),
+                 out_specs=(P(("bz", "by", "bx")),), check_vma=False)
+        def _march(params, brick, rays_packed, mins, maxs):
+            z_lo = jax.lax.axis_index("bz") * Sz
+            y_lo = jax.lax.axis_index("by") * Sy
+            ext = _extend_axis_h(brick, "bz", nbz, 0, 1)
+            if nby > 1:
+                ext = _extend_axis_h(ext, "by", nby, 1, Y_HALO)
+                words = build_word_table_seg(
+                    mins, maxs, plan.dims, plan.win_z, plan.max_samples,
+                    k=plan.group, win_y=plan.win_y, z_lo=z_lo, n_z=Sz,
+                    ext_z=Sz + 1, y_lo=y_lo, n_y=Sy, ext_y=Sy + Y_HALO)
+            else:
+                words = build_word_table_seg(
+                    mins, maxs, plan.dims, plan.win_z, plan.max_samples,
+                    k=plan.group, win_y=plan.win_y, z_lo=z_lo, n_z=Sz,
+                    ext_z=Sz + 1)
+            zr = jnp.stack([z_lo, z_lo + Sz, y_lo, y_lo + Sy, 0, 0, 0, 0]) \
+                .reshape(1, 8).astype(jnp.int32)
+            tf_scalars = jnp.stack([params.alpha_scale, params.color_gain,
+                                    params.color_bias]).reshape(1, 3)
+            out = launch_seg_tf(rays_packed, words, ext, zr, tf_scalars,
+                                plan.dims, plan.max_samples,
+                                win_z=plan.win_z, group=plan.group,
+                                win_y=plan.win_y, lanes=plan.lanes)
+            return (out[None],)
+
+        @jax.jit  # one jit staging march + composition + update
+        def _step(params, volume, rays_packed, mins, maxs, target, lr):
+            (out_t,) = _march(params, volume, rays_packed, mins, maxs)
+            untile = jax.vmap(lambda a: _untile(a, H, W, G))
+            fields = [untile(out_t[:, :, f * G:(f + 1) * G, :])
+                      for f in range(8)]
+            color_T, alpha_T, R, P_tot, QP, SG, SB = compose_tf_segments(
+                fields[0], fields[1], fields[2], fields[3], fields[4],
+                fields[5], fields[6], fields[7])
+            rgb = params.flip_sign * color_T[..., None] + params.flip_bias
+            resid = rgb - target
+            loss = jnp.sum(resid * resid) / npix
+            g_rgb = 2.0 * resid / npix
+            gc = jnp.sum(g_rgb * params.flip_sign, axis=-1)
+            gk = jnp.sum(-gc * (P_tot * R - QP))  # gaT = 0 for this loss
+            gG = jnp.sum(gc * SG)
+            gB = jnp.sum(gc * SB)
+            g_flip_sign = jnp.sum(g_rgb * color_T[..., None], axis=(0, 1))
+            g_flip_bias = jnp.sum(g_rgb, axis=(0, 1))
+            grads = TFParams(alpha_scale=gk, color_gain=gG, color_bias=gB,
+                             flip_sign=g_flip_sign, flip_bias=g_flip_bias)
+            new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+            return new_params, loss
+
+        _TF_BRICK_FIT_CACHE[key] = (_step, mesh, plan)
+        cached = _TF_BRICK_FIT_CACHE[key]
+    return cached[0](params, volume, plan.rays_packed, plan.mins, plan.maxs,
+                     target_rgb, jnp.float32(lr))
 
 
 def voxel_fit_step_kernel(mesh: Mesh, plan: CompositingPlan, params: TFParams,
