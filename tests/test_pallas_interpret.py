@@ -444,3 +444,30 @@ def test_interpret_g8_lane_groups_parity():
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_r), atol=1e-5)
+
+
+def test_interpret_iso_narrow_x_parity():
+    """Narrow-x iso march (round 4: 128-lane window panels via xwords —
+    half the window bytes): hit masks and shading equal the jnp reference
+    on a camera whose group footprints trigger the narrow windows."""
+    from volumerenderer_tpu.io.synthetic import sphere_volume
+    from volumerenderer_tpu.ops.pallas.isosurface_kernel import IsosurfacePlan
+    from volumerenderer_tpu.ops.isosurface import render_isosurface
+
+    vol = as_normalized_volume(
+        sphere_volume((32, 32, 128), radius=0.3, soft=0.2))
+    Z, Y, X = vol.shape
+    rays = generate_rays(Camera(width=256, height=64))
+    iso = 0.5
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                              (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        assert plan.xwords is not None, "camera must trigger narrow-x"
+        rgb_k, found_k = plan.render(vol, iso, words=plan.bind(vol, iso))
+    rgb_r, found_r = render_isosurface(vol, rays.entry_uv, rays.direction,
+                                       rays.hit, iso_value=iso,
+                                       max_samples=24)
+    np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
+                               atol=2e-3)

@@ -59,7 +59,17 @@ class CompressedRenderer:
     def volume_at(self, cut_depth: int | None = None) -> jnp.ndarray:
         cut = self.spec["max_depth"] if cut_depth is None else int(cut_depth)
         if cut not in self._cache:
-            decoded = level_cut_device(self.dtree, self.spec, cut)
+            try:
+                decoded = level_cut_device(self.dtree, self.spec, cut)
+            except Exception:
+                # the on-device decode of a very deep/low-tolerance tree can
+                # exceed the compiler's temp budget (observed: tolerance-1
+                # 256^3 tree, HLO-temp OOM in a remat reshape) — the
+                # vectorized HOST decode is the documented fallback and
+                # produces identical bytes
+                from ..codecs.kdtree import level_cut
+
+                decoded = level_cut(self.tree, cut)
             self._cache[cut] = as_normalized_volume(decoded)
         return self._cache[cut]
 

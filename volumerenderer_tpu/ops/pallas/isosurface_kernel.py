@@ -29,13 +29,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import DELTA, DIFFUSE, MAX_SAMPLES, SPEC_POWER, phong
-from .raycast_kernel import (GROUP_KS, LANE_GROUPS_MAX, T_PER, TILE_H,
+from .raycast_kernel import (GROUP_KS, LANE_GROUPS_MAX, NARROW_SPAN_X,
+                             T_PER, TILE_H,
                              TILE_W, WIN_Y, WIN_Z_GROUP_MAX, _first_group,
                              _footprint_scan, _group_cost, _pack_rays,
                              _pipelined_tiles, _t_per, _tile_loop, _untile,
                              _unpack_word, _window_dma, build_word_table,
-                             build_word_table_group, choose_win_z,
-                             group_unions, pack_pairs, tent_sample)
+                             build_word_table_group, build_xword_table,
+                             choose_win_z, group_unions, pack_pairs,
+                             tent_sample)
 
 
 ISO_LANE_GROUPS_DEFAULT = 4  # the iso march is sampling-row-bound (PERF_
@@ -60,9 +62,26 @@ def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab,
             iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G))
 
 
+def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref, iso_ref,
+                             out_ref, slab, state, sem, *, dims, n_pos,
+                             win_z, k, win_y=WIN_Y, t_per=T_PER, G=1):
+    """Narrow-x variant: 128-lane window panels chosen by the x word
+    (``raycast_kernel.pack_pairs_narrow``) — half the window bytes at X=256
+    and a single-chunk lane gather."""
+    END = -(-n_pos // k)
+    dma = _window_dma(vol_ref, slab, sem, None, True, win_z, win_y)
+    _pipelined_tiles(
+        org_ref, xorg_ref, dma, END, t_per,
+        lambda tile, mask: _iso_one_tile_group(
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
+            mask, dims=dims, n_pos=n_pos, win_z=win_z,
+            iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G,
+            xorg_ref=xorg_ref))
+
+
 def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                         sem, tile, mask, *, dims, n_pos, win_z, iso255, k,
-                        win_y=WIN_Y, G=1):
+                        win_y=WIN_Y, G=1, xorg_ref=None):
     """Crossing detection on the group march.  Per lane group g, state rows
     at base 8g: 0-2 pos, 3 s_prev, 4 found, 5 latch (hit & inside(pos 0),
     cleared on found), 6 t_hit.
@@ -100,8 +119,12 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     state[5 * G:6 * G, :] = jnp.where((hit0 > 0.5) & in0, 1.0, 0.0)
     state[6 * G:7 * G, :] = jnp.full((G, 128), -1.0, jnp.float32)
 
-    dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
+    narrow = xorg_ref is not None
+    dma = _window_dma(vol_ref, slab, sem, None, narrow, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
+
+    def xword(t):
+        return xorg_ref[tile, t] if narrow else jnp.int32(0)
 
     t0 = _first_group(org_ref, tile, END)
     has_win = t0 < END
@@ -112,13 +135,14 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
     t_first = jnp.where(has_win, t0, 0)
     pend0 = org_ref[tile, t_first]
+    pendx0 = xword(t_first)
 
     def advance():
         state[0 * G:1 * G, :] = state[0 * G:1 * G, :] + d[0]
         state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
         state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
-    def substep(sslot, oz_c, oy_c, t, contig):
+    def substep(sslot, oz_c, oy_c, xeff, t, contig):
         """Position ``t`` (traced): sample, crossing test, latch updates.
         ``contig``: position t-1 was sampled (its s_prev row is live)."""
         px = state[0 * G:1 * G, :]
@@ -135,7 +159,7 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                     & (qz > 0.0) & (qz < 1.0))
         s_n = jnp.concatenate(
             [tent_sample(slab[sslot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
-                         oz_c, oy_c, dims, WIN_Z, win_y=win_y)
+                         oz_c, oy_c, dims, WIN_Z, xeff=xeff, win_y=win_y)
              for g in range(G)], axis=0)
         s_pe = jnp.where(contig, s_prev,
                          jnp.full((G, 128), -1.0, jnp.float32))
@@ -157,7 +181,7 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         return jnp.any(alive)
 
     def body(carry):
-        pi, t_cur, cnt, _, pend, mask = carry
+        pi, t_cur, cnt, _, pend, pendx, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)
         # == rem(cnt-1, 2) for cnt >= 1, non-negative so shifts are defined
@@ -166,6 +190,7 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
+        xeff = pendx & 0xFFFF
         contig0 = k * t_cur == pi + 1
 
         def adv_body(i):
@@ -184,6 +209,7 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
+        x_next = xword(t_issue)
         _, oz_n, oy_n, _ = _unpack_word(w_next)
 
         @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
@@ -192,21 +218,21 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
         @pl.when(nd > 0)
         def _():
-            dma(slot_i, oz_n, oy_n, z0i).start()
+            dma(slot_i, oz_n, oy_n, x_next).start()
 
         mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
 
-        substep(sslot, oz_c, oy_c, k * t_cur, contig0)
+        substep(sslot, oz_c, oy_c, xeff, k * t_cur, contig0)
         any_alive = jnp.bool_(True)
         for j in range(1, k):
             advance()
-            any_alive = substep(sslot, oz_c, oy_c, k * t_cur + j,
+            any_alive = substep(sslot, oz_c, oy_c, xeff, k * t_cur + j,
                                 jnp.bool_(True))
         return (k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next,
-                mask)
+                x_next, mask)
 
     def cond(carry):
-        _, t_cur, _, any_alive, _, _ = carry
+        _, t_cur, _, any_alive, _, _, _ = carry
         return (t_cur < END) & any_alive
 
     any0 = jnp.any(state[5 * G:6 * G, :] > 0.5)
@@ -218,11 +244,12 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     # harmless there.  pi = 0 keeps the gap-run arithmetic of the
     # compositing kernel (advance count = k*t_cur - pi from position 0).
     end = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, jnp.int32(0), any0, pend0, mask))
+        cond, body,
+        (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0, mask))
     # out rows 0..G-1 = found, G..2G-1 = t_hit: the field-major state blocks
     out_ref[tile, 0:G, :] = state[4 * G:5 * G, :]
     out_ref[tile, G:2 * G, :] = state[6 * G:7 * G, :]
-    return end[5]
+    return end[6]
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
@@ -381,45 +408,70 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 @functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_z",
                                              "win_y", "group", "lanes"))
 def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
-                  win_y=WIN_Y, group=2, lanes=1):
+                  win_y=WIN_Y, group=2, lanes=1, xwords=None):
     """Grouped iso launch: k positions per window, G lane groups per tile,
     cross-tile DMA pipeline — the fast iso march (docs/PERF_NOTES.md round 3:
     the per-step kernel paid ~2 exposed DMA latencies and a full scalar loop
-    per tile per step)."""
+    per tile per step).  With ``xwords`` the windows are 128-lane narrow-x
+    panels (``pack_pairs_narrow``) — half the bytes and a single-chunk
+    gather."""
+    from .raycast_kernel import pack_pairs_narrow
+
     n_tiles = rays_packed.shape[0]
     G = lanes
     k = group
     t_per = _t_per(n_tiles)
     n_words = -(-n_pos // k)
+    narrow = xwords is not None
     assert k > 1 and 1 <= G <= LANE_GROUPS_MAX, (k, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
-    vol_pairs = pack_pairs(volume)
-    kernel = functools.partial(_iso_kernel_group, dims=dims, n_pos=n_pos,
-                               win_z=win_z, k=k, win_y=win_y, t_per=t_per,
-                               G=G)
+    word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    if narrow:
+        assert xwords.shape == (n_tiles, n_words), xwords.shape
+        vol_pairs = pack_pairs_narrow(volume)
+        slab_w = 128
+        kernel = functools.partial(_iso_kernel_group_narrow, dims=dims,
+                                   n_pos=n_pos, win_z=win_z, k=k,
+                                   win_y=win_y, t_per=t_per, G=G)
+        in_specs = [
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec, word_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        operands = (rays_packed, words, xwords, vol_pairs, iso255)
+    else:
+        vol_pairs = pack_pairs(volume)
+        slab_w = dims[0]
+        kernel = functools.partial(_iso_kernel_group, dims=dims, n_pos=n_pos,
+                                   win_z=win_z, k=k, win_y=win_y,
+                                   t_per=t_per, G=G)
+        in_specs = [
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        operands = (rays_packed, words, vol_pairs, iso255)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
-        in_specs=[
-            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((t_per, max(8, 2 * G), 128),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, max(8, 2 * G), 128),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, win_z, win_y, dims[0]), jnp.float32),
+            pltpu.VMEM((4, win_z, win_y, slab_w), jnp.float32),
             pltpu.VMEM((8 * G, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
-    )(rays_packed, words, vol_pairs, iso255)
+    )(*operands)
     return out[:, 0:G, :], out[:, G:2 * G, :]
 
 
@@ -523,6 +575,7 @@ class IsosurfacePlan:
         self.win_z = None
         self.win_y = WIN_Y
         self.group = 1
+        self.xwords = None
         # the pooled launch still runs the per-step single-lane kernel
         if lane_groups is None:
             G = 1 if pooled else ISO_LANE_GROUPS_DEFAULT
@@ -569,6 +622,12 @@ class IsosurfacePlan:
                 self.win_y = wy
                 self.words_dense = build_word_table_group(
                     mins, maxs, self.dims, wz, n_pos, k=k, win_y=wy)
+                _, _, gsp = group_unions(mins, maxs, n_pos, k=k)
+                if not pooled and int(gsp[2]) <= NARROW_SPAN_X:
+                    # narrow-x windows: half the march DMA bytes and a
+                    # single-chunk lane gather (raycast_kernel machinery)
+                    self.xwords = build_xword_table(mins, maxs, self.dims,
+                                                    n_pos, k=k)
                 # shade pass geometry: COARSER step groups than the march
                 # (shade windows are per hit-bearing group — fewer, slightly
                 # taller windows amortize the 10 tent evals; see
@@ -631,7 +690,7 @@ class IsosurfacePlan:
             found_t, t_hit_t = _launch_group(
                 self.rays_packed, words, volume, iso255, self.dims,
                 self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
-                group=self.group, lanes=self.lanes)
+                group=self.group, lanes=self.lanes, xwords=self.xwords)
             if shade in ("auto", "kernel"):
                 return self._render_shaded_kernel(volume, found_t, t_hit_t,
                                                   iso255)
