@@ -56,21 +56,29 @@ class CompressedRenderer:
         self._pool_cache: dict[int, tuple] = {}
         self._mip_cache: dict[int, jnp.ndarray] = {}
 
+    # class-level: once a device decode fails to compile in this process
+    # (each attempt costs ~10+ min of AOT compile before the OOM verdict),
+    # later renderers go straight to the host path
+    _device_decode_broken = False
+
+    def _decoded(self, cut: int):
+        """Level-cut decode with a host fallback: the on-device decode of a
+        very deep/low-tolerance tree can exceed the compiler's temp budget
+        (observed: tolerance-1 256^3 tree, >35 GB HLO-temp OOM) — the
+        vectorized HOST decode produces identical bytes."""
+        if not CompressedRenderer._device_decode_broken:
+            try:
+                return level_cut_device(self.dtree, self.spec, cut)
+            except Exception:
+                CompressedRenderer._device_decode_broken = True
+        from ..codecs.kdtree import level_cut
+
+        return level_cut(self.tree, cut)
+
     def volume_at(self, cut_depth: int | None = None) -> jnp.ndarray:
         cut = self.spec["max_depth"] if cut_depth is None else int(cut_depth)
         if cut not in self._cache:
-            try:
-                decoded = level_cut_device(self.dtree, self.spec, cut)
-            except Exception:
-                # the on-device decode of a very deep/low-tolerance tree can
-                # exceed the compiler's temp budget (observed: tolerance-1
-                # 256^3 tree, HLO-temp OOM in a remat reshape) — the
-                # vectorized HOST decode is the documented fallback and
-                # produces identical bytes
-                from ..codecs.kdtree import level_cut
-
-                decoded = level_cut(self.tree, cut)
-            self._cache[cut] = as_normalized_volume(decoded)
+            self._cache[cut] = as_normalized_volume(self._decoded(cut))
         return self._cache[cut]
 
     def mip8_at(self, cut_depth: int | None = None) -> jnp.ndarray:
@@ -93,7 +101,7 @@ class CompressedRenderer:
         if cut not in self._pool_cache:
             from ..ops.pallas.raycast_kernel import build_slab_pool
 
-            decoded = level_cut_device(self.dtree, self.spec, cut)
+            decoded = self._decoded(cut)
             pool, smap = build_slab_pool(as_normalized_volume(decoded),
                                          mip8=self.mip8_at(cut))
             del decoded  # transient: not cached, freed with the jit buffers
@@ -109,7 +117,7 @@ class CompressedRenderer:
         if key not in self._pool_cache:
             from ..ops.sampling import build_shade_pool
 
-            decoded = level_cut_device(self.dtree, self.spec, cut)
+            decoded = self._decoded(cut)
             self._pool_cache[key] = build_shade_pool(
                 as_normalized_volume(decoded), mip8=self.mip8_at(cut))
             del decoded
