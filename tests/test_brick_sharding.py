@@ -78,3 +78,28 @@ def test_host_local_bricks_3d_partition():
             for ix in range(2):
                 seen += host_local_bricks_3d(grid, (2, 2, 2), (iz, iy, ix))
     assert sorted(seen) == list(range(grid.num_bricks()))
+
+
+def test_early_out_envelope_bricksharded():
+    """Same approximation envelope as the z-sharded path (see
+    test_context_parallel.test_early_out_envelope): the brick-sharded march
+    omits only post-early-out contributions, so it stays within
+    tau0/ALPHA_SCALE (color) and tau0 (alpha) of the early-out single-device
+    renderer, with tau0 = 1 - EARLY_OUT_ALPHA = 0.01."""
+    from volumerenderer_tpu.ops.raycast import ALPHA_SCALE, EARLY_OUT_ALPHA
+
+    tau0 = 1.0 - EARLY_OUT_ALPHA
+    vol = as_normalized_volume(turbulence_volume((16, 16, 16), seed=6))
+    rays = generate_rays(Camera(width=24, height=16))
+    rgb_eo, a_eo = render_compositing(vol, rays.entry_uv, rays.direction,
+                                      rays.hit, max_samples=64,
+                                      early_exit=True)
+    assert float(np.asarray(a_eo).max()) > EARLY_OUT_ALPHA
+    mesh = make_brick_mesh((2, 2, 2))
+    rgb_s, a_s = render_bricksharded(mesh, shard_volume(mesh, vol),
+                                     rays.entry_uv, rays.direction, rays.hit,
+                                     max_samples=64)
+    assert float(np.abs(np.asarray(rgb_s) - np.asarray(rgb_eo)).max()) \
+        <= tau0 / ALPHA_SCALE + 1e-5
+    assert float(np.abs(np.asarray(a_s) - np.asarray(a_eo)).max()) \
+        <= tau0 + 1e-5

@@ -637,6 +637,14 @@ class IsosurfacePlan:
                 self.shade_k = ks
                 self.shade_win_z = max(4, int(gsk[1]))
                 self.shade_win_y = 8 * (-(-int(gsk[0]) // 8))
+                # _shade_pads budgets +2 texels past the DELTA taps for the
+                # one-step bisection bracket + trilinear reach.  Per-step
+                # texel motion is |direction_i| (step = direction/dims), <= 1
+                # for unit directions — verify against the ACTUAL rays so a
+                # non-normalized caller falls back to XLA shading instead of
+                # silently sampling outside the VMEM shade window (ADVICE r4)
+                self.shade_kernel_ok = bool(
+                    float(jnp.max(jnp.abs(direction))) <= 2.0)
             elif G == 1 and wz1 is not None and wy1 is not None and Z >= wz1:
                 self.win_z = wz1
                 self.win_y = wy1
@@ -691,7 +699,8 @@ class IsosurfacePlan:
                 self.rays_packed, words, volume, iso255, self.dims,
                 self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
                 group=self.group, lanes=self.lanes, xwords=self.xwords)
-            if shade in ("auto", "kernel"):
+            if shade in ("auto", "kernel") and getattr(
+                    self, "shade_kernel_ok", True):
                 return self._render_shaded_kernel(volume, found_t, t_hit_t,
                                                   iso255)
         else:

@@ -83,9 +83,38 @@ def _build_sharded_render(mesh: Mesh, plan: CompositingPlan, axis: str,
     return _render
 
 
-# plan-once / render-many: cache the jitted shard_map per (mesh, plan, axis)
-_SHARDED_RENDER_CACHE: dict = {}
-_TF_FIT_STEP_CACHE: dict = {}
+# plan-once / render-many: cache the jitted shard_map per (mesh, plan, axis).
+# Entries hold strong refs to (mesh, plan) ON PURPOSE — the id()-based keys
+# are only stable while the objects are alive — so the caches are BOUNDED
+# (LRU): long sessions that plan many views evict old plans and let their
+# device buffers (rays_packed / word tables, tens of MB at 1024²) free
+# (ADVICE round 4).
+
+
+class _LRU(dict):
+    """Tiny bounded LRU over dict: ``get`` refreshes, insert evicts oldest."""
+
+    def __init__(self, maxsize: int = 8):
+        super().__init__()
+        self._maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)  # move to most-recent
+            return val
+        return default
+
+    def __setitem__(self, key, value):
+        if key in self:
+            super().pop(key)
+        elif len(self) >= self._maxsize:
+            super().pop(next(iter(self)))  # evict least-recent
+        super().__setitem__(key, value)
+
+
+_SHARDED_RENDER_CACHE = _LRU()
+_TF_FIT_STEP_CACHE = _LRU()
 
 
 def render_planned_sharded(mesh: Mesh, plan: CompositingPlan, volume,
@@ -185,8 +214,8 @@ def _build_tf_fit_step(mesh: Mesh, plan: CompositingPlan, axis: str):
     return _step
 
 
-_VOXEL_FIT_STEP_CACHE: dict = {}
-_TF_BRICK_FIT_CACHE: dict = {}
+_VOXEL_FIT_STEP_CACHE = _LRU()
+_TF_BRICK_FIT_CACHE = _LRU()
 
 
 def tf_fit_step_bricksharded(mesh: Mesh, plan: CompositingPlan,
@@ -390,7 +419,7 @@ def seg_plan_ok(plan: CompositingPlan, n_z: int, S_z: int,
     return True
 
 
-_SEG_RENDER_CACHE: dict = {}
+_SEG_RENDER_CACHE = _LRU()
 
 
 def _seg_composite(C_t, A_t, tf_t, plan: CompositingPlan):

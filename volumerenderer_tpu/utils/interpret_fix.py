@@ -27,8 +27,28 @@ __all__ = ["install_io_callback_numpy_patch"]
 
 
 def install_io_callback_numpy_patch() -> None:
+    import jax
+
+    # Guard the private-API patch (ADVICE round 4): it drops the ordered/
+    # sharding semantics of EVERY io_callback in the process, which is only
+    # acceptable in the CPU interpret-mode test/dryrun processes it targets,
+    # and it rebinds a private symbol that can move between jax releases.
+    # Known-affected/verified range: jax 0.8.x - 0.9.x.  Outside it, or if
+    # the symbol moved, fail LOUDLY so the deadlock workaround is re-verified
+    # instead of silently not applying.
+    ver = tuple(int(p) for p in jax.__version__.split(".")[:2])
+    if not ((0, 8) <= ver <= (0, 9)):
+        raise RuntimeError(
+            f"interpret_fix: jax {jax.__version__} is outside the verified "
+            f"0.8.x-0.9.x range for the io_callback deadlock workaround — "
+            f"re-verify the deadlock (tests/test_kernel_sharded.py under the "
+            f"CPU mesh) and update this guard")
     import jax._src.callback as jcb
 
+    if not hasattr(jcb, "io_callback_impl"):
+        raise RuntimeError(
+            "interpret_fix: jax._src.callback.io_callback_impl moved — the "
+            "deadlock workaround no longer applies; update interpret_fix.py")
     if getattr(jcb.io_callback_impl, "_vr_numpy_patch", False):
         return
 

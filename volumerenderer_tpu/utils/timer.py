@@ -63,11 +63,27 @@ class DebugTimer:
 
 
 @contextlib.contextmanager
-def timed(label: str, sync_value=None, report_every: int = 1):
+def timed(label: str, sync_value=None, report_every: int = 1,
+          profile: bool = False, profile_dir: str | None = None):
+    """Timed scope.  With ``profile=True`` the scope also runs under a
+    ``jax.profiler.trace`` (written to ``profile_dir``, default
+    ``/tmp/vrtpu_trace/<label>``) with a ``TraceAnnotation`` carrying the
+    label — the trace half of the reference ``DebugTimer`` equivalent
+    (SURVEY.md §5: phase timers + ``jax.profiler`` integration)."""
     DebugTimer.begin(report_every, label)
     result = {}
+    stack = contextlib.ExitStack()
+    if profile:
+        import os
+
+        tdir = profile_dir or os.path.join("/tmp", "vrtpu_trace", label)
+        os.makedirs(tdir, exist_ok=True)
+        stack.enter_context(jax.profiler.trace(tdir))
+        stack.enter_context(jax.profiler.TraceAnnotation(label))
+        result["trace_dir"] = tdir
     try:
-        yield result
+        with stack:
+            yield result
     finally:
         result["seconds"] = DebugTimer.end(label, sync=sync_value)
 
