@@ -22,6 +22,7 @@ reference publishes no numbers (SURVEY.md §6, BASELINE.json "published": {}).
 """
 from __future__ import annotations
 
+import functools
 import json
 import math
 import time
@@ -85,23 +86,27 @@ def bench_isosurface(vol, plans_iso):
     words = [p.bind(vol, iso) for p in plans_iso]
     # plan arrays ride as ARGUMENTS (device-resident) — captured constants
     # would blow the remote-compile request past the tunnel's size limit
-    packs = [(p.rays_packed, w, p.xwords) for p, w in zip(plans_iso, words)]
+    packs = [(p.rays_packed, w, p.xwords, p.gwords)
+             for p, w in zip(plans_iso, words)]
     iso255 = jnp.full((1, 1), iso * 255.0, jnp.float32)
 
     @jax.jit
     def sweep(vol, packs):
         acc = jnp.float32(0)
-        for (rp, wd, xw), p in zip(packs, plans_iso):
+        for (rp, wd, xw, gw), p in zip(packs, plans_iso):
             found_t, t_hit_t = IK._launch_group(
                 rp, wd, vol, iso255, p.dims, p.max_samples + 1,
                 win_z=p.win_z, win_y=p.win_y, group=p.group, lanes=p.lanes,
-                xwords=xw)
+                xwords=xw, gwords=gw)
             n_pos = p.max_samples + 1
             pad_z, shift_y, win_zs, win_ys = IK._shade_pads(
                 p.dims, p.shade_win_z, p.shade_win_y)
             swords = IK.build_shade_words(found_t, t_hit_t, p.mins, p.maxs,
                                           p.dims, n_pos, p.shade_k, win_zs,
                                           win_ys, pad_z, shift_y)
+            sxw = IK.build_shade_xwords(p.mins, p.maxs, p.dims, n_pos,
+                                        p.shade_k, IK.shade_pad_x(p.dims)) \
+                if p.shade_narrow else None
             G = p.lanes
             hr = max(8, 2 * G)
             rows = [found_t, t_hit_t]
@@ -111,7 +116,7 @@ def bench_isosurface(vol, plans_iso):
             hit_rows = jnp.concatenate(rows, axis=1)
             r_t, g_t, b_t = IK._launch_shade(
                 rp, swords, hit_rows, vol, iso255, p.dims, n_pos, win_zs,
-                win_ys, p.shade_k, lanes=G)
+                win_ys, p.shade_k, lanes=G, xwords=sxw)
             acc = acc + jnp.sum(r_t) + jnp.sum(g_t) + jnp.sum(b_t)
         return acc
 
@@ -175,27 +180,47 @@ def bench_voxel_grad(vol, plan):
 
 
 def bench_pooled(vol, plans_pooled):
+    """Compressed-domain (sparse slab pool) march.  The headline pooled
+    metric uses the NARROW f32 pool (round 5: the dense narrow kernel's
+    tent path — pooled at dense speed, 4x the resident bytes); the pair16
+    low-memory pool is reported as a second line (docs/PERF_NOTES.md
+    "Compressed-domain residency" records the tradeoff)."""
     from volumerenderer_tpu.ops.pallas import raycast_kernel as RK
     from volumerenderer_tpu.ops.raycast import apply_reference_transfer
 
-    pool, smap = RK.build_slab_pool(vol)
-    packs = [(p.rays_packed, p.words_dense) for p in plans_pooled]
+    pool16, smap = RK.build_slab_pool(vol)
+    pooln, smapn = RK.build_slab_pool_narrow(vol)
+    narrow_ok = all(p.xwords is not None for p in plans_pooled)
+    packs = [(p.rays_packed, p.words_dense, p.xwords) for p in plans_pooled]
 
-    @jax.jit
-    def sweep(pool, smap, packs):
+    @functools.partial(jax.jit, static_argnames=("narrow",))
+    def sweep(pool, smap, packs, narrow):
         acc = jnp.float32(0)
-        for (rp, wd), p in zip(packs, plans_pooled):
-            c, a = RK._launch_pooled(rp, wd, pool, smap, p.dims,
-                                     p.max_samples, win_z=p.win_z,
-                                     group=p.group, win_y=p.win_y,
-                                     lanes=p.lanes)
+        for (rp, wd, xw), p in zip(packs, plans_pooled):
+            if narrow:
+                c, a = RK._launch_pooled_narrow(
+                    rp, wd, xw, pool, smap, p.dims, p.max_samples,
+                    win_z=p.win_z, group=p.group, win_y=p.win_y,
+                    lanes=p.lanes)
+            else:
+                c, a = RK._launch_pooled(rp, wd, pool, smap, p.dims,
+                                         p.max_samples, win_z=p.win_z,
+                                         group=p.group, win_y=p.win_y,
+                                         lanes=p.lanes)
             rgb = apply_reference_transfer(RK._untile(c, H, W, p.lanes),
                                            RK._untile(a, H, W, p.lanes))
             acc = acc + jnp.sum(rgb)
         return acc
 
-    dt = _time_sweep(sweep, pool, smap, packs)
-    _emit("pooled_rays_per_s_per_chip_1024sq_256cube", W * H / dt)
+    if narrow_ok:
+        dt = _time_sweep(sweep, pooln, smapn, packs, True)
+        _emit("pooled_rays_per_s_per_chip_1024sq_256cube", W * H / dt)
+        dt16 = _time_sweep(sweep, pool16, smap, packs, False)
+        _emit("pooled_pair16_rays_per_s_per_chip_1024sq_256cube",
+              W * H / dt16)
+    else:
+        dt = _time_sweep(sweep, pool16, smap, packs, False)
+        _emit("pooled_rays_per_s_per_chip_1024sq_256cube", W * H / dt)
 
 
 def main():

@@ -254,3 +254,21 @@ def test_chunked_device_decode_matches_host():
         host = K.level_cut(tree, cut)
         chunked = np.asarray(level_cut_device(dtree, spec, cut, chunk_bits=7))
         np.testing.assert_array_equal(chunked, host)
+
+
+def test_mip8_chunked_path_matches_flat():
+    """Deep trees compute the occupancy mip from the chunked decode (the
+    flat (2,)*D reshape impl pads ~128x on deep trees); both paths must
+    agree exactly."""
+    from volumerenderer_tpu.codecs import device as DV
+
+    vol = turbulence_volume((16, 16, 16), seed=9)
+    tree = K.build(vol, tolerance=2, max_epochs=2)
+    dtree, spec = to_dev = DV.to_device(tree)
+    dtree, spec = to_dev
+    spec_key = (tuple(spec["dims"]), spec["orig_depth"], spec["max_depth"],
+                tuple(spec["schedule"]), spec["chain_len"])
+    flat = np.asarray(DV._tree_mip8_impl(dtree, spec_key, spec["max_depth"]))
+    via_cut = np.asarray(DV._mip8_of_cut(
+        DV.level_cut_device(dtree, spec, chunk_bits=7)))
+    np.testing.assert_array_equal(via_cut, flat)

@@ -433,7 +433,7 @@ def test_interpret_g8_lane_groups_parity():
     vol = as_normalized_volume(
         np.round(rng.random((16, 16, 128)) * 255).astype(np.uint8))
     Z, Y, X = vol.shape
-    rays = generate_rays(Camera(width=128, height=16))
+    rays = generate_rays(Camera(width=512, height=16))
     with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
                                   (X, Y, Z), max_samples=24, lane_groups=8)
@@ -471,3 +471,37 @@ def test_interpret_iso_narrow_x_parity():
     np.testing.assert_array_equal(np.asarray(found_k), np.asarray(found_r))
     np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_r),
                                atol=2e-3)
+
+
+def test_interpret_pooled_narrow_parity():
+    """Narrow slab pool (round 5): the compressed-domain march through the
+    f32 dual-copy panel layout equals the jnp renderer AND the pair16 pool
+    exactly — pooled rendering at the dense narrow kernel's arithmetic."""
+    rng = np.random.default_rng(7)
+    Z, Y, X = 32, 16, 256
+    v = np.zeros((Z, Y, X), np.float32)
+    v[9:14, 4:12, 30:200] = rng.random((5, 8, 170)).astype(np.float32)
+    vol = as_normalized_volume(np.round(v * 255.0).astype(np.uint8))
+    # close-up camera: few voxels per tile, so x spans fit the narrow
+    # panels (xwords != None) at interpret-tractable ray counts
+    rays = generate_rays(Camera(width=128, height=32,
+                                position=(0.0, 0.0, -0.6)))
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
+                                  (X, Y, Z), max_samples=24, pooled=True)
+        assert plan.use_kernel and plan.group > 1
+        assert plan.xwords is not None
+        pool_n, smap_n = RK.build_slab_pool_narrow(vol)
+        assert pool_n.shape[1] // RK.SLAB_H < Z // 8 + 1  # sparse residency
+        words = plan.bind(vol)
+        rgb_n, a_n = plan.render_pooled(pool_n, smap_n, words=words)
+        pool_o, smap_o = RK.build_slab_pool(vol)
+        rgb_o, a_o = plan.render_pooled(pool_o, smap_o, words=words)
+    rgb_r, a_r = render_compositing(vol, rays.entry_uv, rays.direction,
+                                    rays.hit, max_samples=24)
+    np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_n), np.asarray(rgb_r),
+                               atol=1e-5)
+    # the two pool kernels compile separately, so fma/fusion choices may
+    # differ by 1 ulp on ~1% of pixels — same-within-ulp, not bit-equal
+    np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_o), atol=2e-7)

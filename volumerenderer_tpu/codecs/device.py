@@ -241,10 +241,16 @@ def _tree_mip8_impl(dtree: DeviceKdTree, spec_key, cut_depth: int):
 
 def tree_occupancy_mip8(dtree: DeviceKdTree, spec: dict,
                         cut_depth: int | None = None) -> jnp.ndarray:
-    """Per-8³-block maxima of the decoded level cut, computed from the
-    compressed tree's own scalars — no dense (Z, Y, X) pass.  Feeds
+    """Per-8³-block maxima of the decoded level cut.  Shallow trees compute
+    it from the tree's own scalars with no dense (Z, Y, X) pass
+    (``_tree_mip8_impl``); deep trees (the chunked-decode regime) reduce the
+    chunked device decode instead — the flat impl's ``(2,)*D`` reshapes pick
+    up ~128x tiling padding on deep trees (2 GB HLO temps per level at
+    D=24, same mechanism as the round-4 level-cut compile OOM), while the
+    block max of the decoded cut is the SAME array by definition (the cut is
+    piecewise constant on node boxes) at a transient 16 MB.  Feeds
     ``CompositingPlan.bind(mip8=...)`` / ``IsosurfacePlan.bind(mip8=...)``
-    for exact empty-space skipping driven by codec metadata (the role the
+    for exact empty-space skipping driven by codec data (the role the
     reference's stubbed compressed shader reached for,
     ``isosurface_compressed.frag:18-44``; SURVEY.md §7 "free empty-space
     skipping")."""
@@ -252,7 +258,17 @@ def tree_occupancy_mip8(dtree: DeviceKdTree, spec: dict,
         cut_depth = spec["max_depth"]
     spec_key = (tuple(spec["dims"]), spec["orig_depth"], spec["max_depth"],
                 tuple(spec["schedule"]), spec["chain_len"])
+    if spec["orig_depth"] >= CHUNKED_DECODE_MIN_DEPTH:
+        vol = level_cut_device(dtree, spec, int(cut_depth))
+        return _mip8_of_cut(vol)
     return _tree_mip8_impl(dtree, spec_key, int(cut_depth))
+
+
+@jax.jit
+def _mip8_of_cut(vol_u8):
+    from ..ops.pallas.raycast_kernel import block_max8
+
+    return block_max8(vol_u8.astype(jnp.float32) * (1.0 / 255.0))
 
 
 def level_cut_device(dtree: DeviceKdTree, spec: dict,

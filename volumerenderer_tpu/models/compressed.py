@@ -192,13 +192,19 @@ class CompressedRenderer:
         :meth:`render`; falls back to the jnp path off TPU or for unsupported
         cameras.
 
-        ``pooled=True`` is the compressed-domain render (BASELINE config 3's
-        "in-kernel 2-bit decode", the reference's unfinished
-        ``isosurface_compressed.frag``): the HBM-resident volume state is the
-        packed tree + the sparse occupied-slab pool (:meth:`slab_pool_at`),
-        never a dense pair volume; outputs are bit-identical to the dense
-        kernel.  Falls back to the dense plan when the camera/shape is
-        unsupported by the pooled kernel."""
+        ``pooled=True`` is the compressed-domain render, our redesign of the
+        reference's unfinished in-shader tree traversal
+        (``isosurface_compressed.frag:18-44``): the HBM-resident volume
+        state is the packed tree + the sparse occupied-slab pool
+        (:meth:`slab_pool_at`), never a dense pair volume.  To be precise
+        about what happens where: the 2-bit codes are decoded by the
+        chunked device decode ONCE per cut (a separate jit pass, not inside
+        the march kernel), and the march kernel reads only the pooled slabs
+        — the measured residency/throughput tradeoff vs a true in-march
+        decode is recorded in docs/PERF_NOTES.md ("compressed-domain
+        residency").  Outputs are bit-identical to the dense kernel.  Falls
+        back to the dense plan when the camera/shape is unsupported by the
+        pooled kernel."""
         X, Y, Z = self.spec["dims"]
         mip = self.mip8_at(cut_depth)
 

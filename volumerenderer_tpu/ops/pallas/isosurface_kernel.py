@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..isosurface import DELTA, DIFFUSE, MAX_SAMPLES, SPEC_POWER, phong
-from .raycast_kernel import (GROUP_KS, LANE_GROUPS_MAX, NARROW_SPAN_X,
+from .raycast_kernel import (BIG, GROUP_KS, LANE_GROUPS_MAX, NARROW_SPAN_X,
                              T_PER, TILE_H,
                              TILE_W, WIN_Y, WIN_Z_GROUP_MAX, _first_group,
                              _footprint_scan, _group_cost, _pack_rays,
@@ -45,8 +45,8 @@ ISO_LANE_GROUPS_DEFAULT = 4  # the iso march is sampling-row-bound (PERF_
 # hit-row packing caps at 2G <= 8 rows — keep G <= 4 pending a G=8 sweep
 
 
-def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab,
-                      state, sem, *, dims, n_pos, win_z, k, win_y=WIN_Y,
+def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref,
+                      slab, state, sem, *, dims, n_pos, win_z, k, win_y=WIN_Y,
                       t_per=T_PER, G=1):
     """Grouped + lane-grouped + cross-tile-pipelined isosurface march (same
     machinery as ``raycast_kernel._march_tiles_group``): k positions per DMA
@@ -57,14 +57,14 @@ def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab,
     _pipelined_tiles(
         org_ref, None, dma, END, t_per,
         lambda tile, mask: _iso_one_tile_group(
-            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
-            mask, dims=dims, n_pos=n_pos, win_z=win_z,
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+            tile, mask, dims=dims, n_pos=n_pos, win_z=win_z,
             iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G))
 
 
-def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref, iso_ref,
-                             out_ref, slab, state, sem, *, dims, n_pos,
-                             win_z, k, win_y=WIN_Y, t_per=T_PER, G=1):
+def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref,
+                             iso_ref, out_ref, slab, state, sem, *, dims,
+                             n_pos, win_z, k, win_y=WIN_Y, t_per=T_PER, G=1):
     """Narrow-x variant: 128-lane window panels chosen by the x word
     (``raycast_kernel.pack_pairs_narrow``) — half the window bytes at X=256
     and a single-chunk lane gather."""
@@ -73,18 +73,20 @@ def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref, iso_ref,
     _pipelined_tiles(
         org_ref, xorg_ref, dma, END, t_per,
         lambda tile, mask: _iso_one_tile_group(
-            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem, tile,
-            mask, dims=dims, n_pos=n_pos, win_z=win_z,
+            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+            tile, mask, dims=dims, n_pos=n_pos, win_z=win_z,
             iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G,
             xorg_ref=xorg_ref))
 
 
-def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
-                        sem, tile, mask, *, dims, n_pos, win_z, iso255, k,
-                        win_y=WIN_Y, G=1, xorg_ref=None):
+
+def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
+                        state, sem, tile, mask, *, dims, n_pos, win_z, iso255,
+                        k, win_y=WIN_Y, G=1, xorg_ref=None):
     """Crossing detection on the group march.  Per lane group g, state rows
     at base 8g: 0-2 pos, 3 s_prev, 4 found, 5 latch (hit & inside(pos 0),
-    cleared on found), 6 t_hit.
+    cleared on found AND on cube exit — see below), 6 t_hit; rows 7G..8G
+    are the per-group sample staging buffer for the alive gate.
 
     Crossing semantics follow the REFERENCE exactly (``isosurface.frag:126``
     and the jnp march ``ops/isosurface.py``): the crossing between positions
@@ -94,7 +96,24 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     ``hit & inside(pos 0) & inside(pos(t-1))``, so the anchor's aliveness is
     recomputed from the current position (``pos - d``) — exact across
     skipped gaps too.  After a skipped gap the (provably < iso) previous
-    sample is stood in by a -1 sentinel; position 0 only seeds s_prev."""
+    sample is stood in by a -1 sentinel; position 0 only seeds s_prev.
+
+    PER-GROUP BOUND REFINEMENT (round 5): the occupancy words come from
+    ``build_iso_tables`` — a window is skipped when EVERY lane group's
+    (5x8x8-scale) bound is below iso, which bites ~2.4x more often than the
+    old tile-union bound on the bench field (sampled 0.84 -> 0.68).  The
+    skip stays exact without any in-kernel bookkeeping: a skipped window
+    implies every group's samples are < iso, so the existing -1 s_prev
+    sentinel covers all lanes.  In-kernel per-group ``@pl.when`` gating was
+    built and MEASURED OUT (round-5 A/B: predicated tent regions cost
+    ~35 ns each while one lane-group tent costs only ~30 ns — the
+    words-only variant beat full predication by 80 ms/frame); the gword
+    sample/minskip bits remain available for static replanning.
+
+    Aliveness: the per-ray ``texr`` row (clamped leading-inside count from
+    the footprint prepass) replaces the 6-compare bounds test with one
+    broadcast compare, and the latch row folds exits at window end so the
+    march stops as soon as no ray can still cross."""
     WIN_Z = win_z
     END = -(-n_pos // k)
     z0i = jnp.int32(0)
@@ -107,6 +126,10 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
     d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
                           for g in range(G)], axis=0) for i in range(3)]
     hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
+                            for g in range(G)], axis=0)
+    # texr = min(texit, n_pos - 1): position t can anchor/complete a
+    # crossing only if t <= texr (see raycast_kernel._footprint_scan)
+    texr = jnp.concatenate([rays_ref[tile, 8 * g + 7:8 * g + 8, :]
                             for g in range(G)], axis=0)
     p0 = [e[i] + d[i] for i in range(3)]
     in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
@@ -142,9 +165,12 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
         state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
-    def substep(sslot, oz_c, oy_c, xeff, t, contig):
-        """Position ``t`` (traced): sample, crossing test, latch updates.
-        ``contig``: position t-1 was sampled (its s_prev row is live)."""
+    def substep(sslot, oz_c, oy_c, xeff, t_f, contig):
+        """Position with index ``t_f`` (traced f32 scalar): sample, crossing
+        test, latch updates.  ``contig``: position t-1 was sampled (its
+        s_prev row is live).  The crossing anchor's aliveness and the n_pos
+        cap collapse into ONE broadcast compare against the texr row:
+        crossing at t needs inside(t-1) & (t < n_pos) <=> t <= texr."""
         px = state[0 * G:1 * G, :]
         py = state[1 * G:2 * G, :]
         pz = state[2 * G:3 * G, :]
@@ -152,36 +178,29 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         found = state[4 * G:5 * G, :] > 0.5
         latch = state[5 * G:6 * G, :] > 0.5
         t_hit = state[6 * G:7 * G, :]
-        qx = px - d[0]
-        qy = py - d[1]
-        qz = pz - d[2]
-        inside_p = ((qx > 0.0) & (qx < 1.0) & (qy > 0.0) & (qy < 1.0)
-                    & (qz > 0.0) & (qz < 1.0))
         s_n = jnp.concatenate(
             [tent_sample(slab[sslot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
                          oz_c, oy_c, dims, WIN_Z, xeff=xeff, win_y=win_y)
              for g in range(G)], axis=0)
         s_pe = jnp.where(contig, s_prev,
                          jnp.full((G, 128), -1.0, jnp.float32))
-        crossing = (latch & inside_p & (t > 0) & (t < n_pos)
+        crossing = (latch & (texr >= t_f) & (t_f > 0)
                     & (s_pe < iso255) & (s_n >= iso255) & ~found)
-        t_hit = jnp.where(
-            crossing,
-            jnp.broadcast_to((t - 1).astype(jnp.float32), t_hit.shape),
-            t_hit)
+        t_hit = jnp.where(crossing,
+                          jnp.broadcast_to(t_f - 1.0, t_hit.shape), t_hit)
         found = found | crossing
         latch = latch & ~found
-        # a ray whose position left the cube can only still cross at the
-        # very next position (its lookahead) — keep it one extra step
-        alive = latch & inside_p & (t < n_pos)
         state[3 * G:4 * G, :] = s_n
         state[4 * G:5 * G, :] = jnp.where(found, 1.0, 0.0)
         state[5 * G:6 * G, :] = jnp.where(latch, 1.0, 0.0)
         state[6 * G:7 * G, :] = t_hit
-        return jnp.any(alive)
+        # no ray can cross at any t' > t once texr < t' — fold the bound
+        # into the liveness the loop exit reduces over (gating only; the
+        # crossing test above re-derives its own anchor each substep)
+        return latch & (texr > t_f)
 
     def body(carry):
-        pi, t_cur, cnt, _, pend, pendx, mask = carry
+        pi, t_cur, cnt, agbits, pend, pendx, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)
         # == rem(cnt-1, 2) for cnt >= 1, non-negative so shifts are defined
@@ -222,13 +241,16 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
         mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
 
-        substep(sslot, oz_c, oy_c, xeff, k * t_cur, contig0)
-        any_alive = jnp.bool_(True)
+        t_f = (k * t_cur).astype(jnp.float32)
+        substep(sslot, oz_c, oy_c, xeff, t_f, contig0)
+        alive = jnp.zeros((G, 128), jnp.bool_)
         for j in range(1, k):
             advance()
-            any_alive = substep(sslot, oz_c, oy_c, xeff, k * t_cur + j,
-                                jnp.bool_(True))
-        return (k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next,
+            alive = substep(sslot, oz_c, oy_c, xeff, t_f + float(j),
+                            jnp.bool_(True))
+        # the any's scalar result is consumed one iteration later (by cond)
+        # — the vector->scalar sync overlaps the next window's DMA wait
+        return (k * t_cur + (k - 1), t_next, cnt + 1, jnp.any(alive), w_next,
                 x_next, mask)
 
     def cond(carry):
@@ -408,13 +430,14 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 @functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_z",
                                              "win_y", "group", "lanes"))
 def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
-                  win_y=WIN_Y, group=2, lanes=1, xwords=None):
+                  win_y=WIN_Y, group=2, lanes=1, xwords=None, gwords=None):
     """Grouped iso launch: k positions per window, G lane groups per tile,
     cross-tile DMA pipeline — the fast iso march (docs/PERF_NOTES.md round 3:
     the per-step kernel paid ~2 exposed DMA latencies and a full scalar loop
     per tile per step).  With ``xwords`` the windows are 128-lane narrow-x
     panels (``pack_pairs_narrow``) — half the bytes and a single-chunk
-    gather."""
+    gather.  ``gwords`` carries the per-(tile, window, lane-group) bound
+    words (``build_iso_tables``); None = no per-group skipping."""
     from .raycast_kernel import pack_pairs_narrow
 
     n_tiles = rays_packed.shape[0]
@@ -426,8 +449,14 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
     assert k > 1 and 1 <= G <= LANE_GROUPS_MAX, (k, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
+    del gwords  # per-group bits refine the WORD table at build time only —
+    # in-kernel predication was measured out (module docstring)
     word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    iso_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
     if narrow:
         assert xwords.shape == (n_tiles, n_words), xwords.shape
         vol_pairs = pack_pairs_narrow(volume)
@@ -435,13 +464,8 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
         kernel = functools.partial(_iso_kernel_group_narrow, dims=dims,
                                    n_pos=n_pos, win_z=win_z, k=k,
                                    win_y=win_y, t_per=t_per, G=G)
-        in_specs = [
-            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            word_spec, word_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ]
+        in_specs = [ray_spec, word_spec, word_spec,
+                    pl.BlockSpec(memory_space=pl.ANY), iso_spec]
         operands = (rays_packed, words, xwords, vol_pairs, iso255)
     else:
         vol_pairs = pack_pairs(volume)
@@ -449,13 +473,8 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
         kernel = functools.partial(_iso_kernel_group, dims=dims, n_pos=n_pos,
                                    win_z=win_z, k=k, win_y=win_y,
                                    t_per=t_per, G=G)
-        in_specs = [
-            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            word_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ]
+        in_specs = [ray_spec, word_spec,
+                    pl.BlockSpec(memory_space=pl.ANY), iso_spec]
         operands = (rays_packed, words, vol_pairs, iso255)
     out = pl.pallas_call(
         kernel,
@@ -555,6 +574,152 @@ def _launch_pooled(rays_packed, words, pool, slab_map, iso255, dims,
     return out[:, 0, :], out[:, 1, :]
 
 
+# ---------------------------------------------------------------------------
+# Per-(tile, window, lane-group) occupancy bounds (round 5).
+#
+# The tile-level occupancy words skip only 16% of windows on the bench
+# turbulence field at the median isovalue: their conservative cell covers a
+# 16x16x24-voxel reach (the union footprint of 512 rays x k steps relative
+# to an 8-aligned corner), far wider than the field's correlation length.
+# A single LANE GROUP's k-step union box is ~5x8x8 voxels, at which scale
+# the same field is ~38% skippable (max < iso) plus ~40% single-sampleable
+# (min >= iso) — measured on the bench volume.  ``build_iso_tables`` gathers
+# per-(tile, window, lane-group) max/min bounds from 4³-block grids
+# (forward-expanded so one gather bounds the whole box) and packs them into
+# a second SMEM word table:
+#
+#     bits 0..G-1   sample: group g's window bound may reach iso
+#     bits 8..8+G-1 minskip: every tap in group g's box is >= iso — only the
+#                   FIRST position of the window can complete a crossing, so
+#                   substeps 1..k-1 skip their tent_samples
+#
+# Exactness: a max-skipped group's staged sample row is set to the -1
+# sentinel (its true samples are provably < iso, so every crossing test the
+# row feeds — "previous sample < iso" — evaluates as the truth would); a
+# min-skipped group's staged row holds its first-position sample (>= iso),
+# which masks in-window crossings exactly as the true >= iso samples would.
+# The bound boxes include clamp-sampled lookahead positions (rays whose
+# previous position was inside), so every sample a crossing can read is
+# bounded.
+
+BOUND_BLOCK = 4  # bound-grid granularity (voxels per cell per axis)
+
+
+def _block_reduce4(s, pad_value, use_max):
+    Z, Y, X = s.shape
+    b = BOUND_BLOCK
+    pz, py, px = (-Z) % b, (-Y) % b, (-X) % b
+    if pz or py or px:
+        s = jnp.pad(s, ((0, pz), (0, py), (0, px)),
+                    constant_values=pad_value)
+    r = s.reshape((Z + pz) // b, b, (Y + py) // b, b, (X + px) // b, b)
+    return r.max(axis=(1, 3, 5)) if use_max else r.min(axis=(1, 3, 5))
+
+
+def _fwd_expand(m, axis, reach, use_max):
+    """Forward reduction so cell i bounds cells [i, i + reach) (edge cells
+    repeat — conservative under clamp-to-edge sampling)."""
+    out = m
+    for r in range(1, reach):
+        shifted = jnp.concatenate(
+            [jax.lax.slice_in_dim(m, r, m.shape[axis], axis=axis),
+             jnp.repeat(jax.lax.slice_in_dim(m, m.shape[axis] - 1,
+                                             m.shape[axis], axis=axis),
+                        r, axis=axis)], axis=axis)
+        out = jnp.maximum(out, shifted) if use_max else \
+            jnp.minimum(out, shifted)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "win_z", "n_pos", "k",
+                                             "win_y", "reaches", "G"))
+def build_iso_tables(mins, maxs, gmins, gmaxs, dims, win_z, n_pos, k, win_y,
+                     volume, iso255f, reaches, G):
+    """Build (words, gwords) for the grouped iso march: the tile-level
+    control words (same packing as ``build_word_table_group``, with the
+    sampled bit refined to "ANY lane group's bound reaches iso") plus the
+    per-(tile, window, lane-group) bound words described above."""
+    X, Y, Z = dims
+    P = -(-n_pos // k)
+    T = mins.shape[0]
+    # tile-union window origins (identical to build_word_table_group)
+    pmn, _, _ = group_unions(mins, maxs, n_pos, k=k)
+    oy = jnp.clip((pmn[..., 0] // 8) * 8, 0, Y - win_y)
+    oz = jnp.clip(pmn[..., 1], 0, Z - win_z)
+
+    # per-(window, lane-group) union boxes ([y, z, x] mins/maxs)
+    pad = k * P - n_pos
+
+    def pad_to(a, fill):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((T, pad) + a.shape[2:], fill, a.dtype)], axis=1)
+        return a
+
+    gmn = pad_to(gmins[:, :n_pos], BIG).reshape(T, P, k, G, 3).min(axis=2)
+    gmx = pad_to(gmaxs[:, :n_pos], -BIG).reshape(T, P, k, G, 3).max(axis=2)
+    nonempty = gmx[..., 0] >= gmn[..., 0]  # (T, P, G)
+
+    s8 = jnp.round(jnp.clip(volume, 0.0, 1.0) * 255.0)
+    m4 = _block_reduce4(s8, 0.0, True)
+    n4 = _block_reduce4(s8, 255.0, False)
+    rz, ry, rx = reaches
+    m4 = _fwd_expand(_fwd_expand(_fwd_expand(m4, 0, rz, True),
+                                 1, ry, True), 2, rx, True)
+    n4 = _fwd_expand(_fwd_expand(_fwd_expand(n4, 0, rz, False),
+                                 1, ry, False), 2, rx, False)
+    iz = jnp.clip(gmn[..., 1], 0, Z - 1) >> 2
+    iy = jnp.clip(gmn[..., 0], 0, Y - 1) >> 2
+    ix = jnp.clip(gmn[..., 2], 0, X - 1) >> 2
+    # integer grid values: > iso - 1e-3  <=>  >= iso (build_word_table conv.)
+    thr = iso255f - 1e-3
+    sample = nonempty & (m4[iz, iy, ix] > thr)
+    minskip = nonempty & (n4[iz, iy, ix] >= iso255f)
+
+    sampled = sample.any(axis=2)
+    idx = jnp.arange(P, dtype=jnp.int32)
+    nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((T, 1), 4 * P + 4, jnp.int32)], axis=1)
+    nd = jnp.where(after < P, after - idx, 0)
+    word = ((nd << 20) | (oz << 9) | ((oy >> 3) << 1)
+            | sampled.astype(jnp.int32))
+    bitg = (1 << jnp.arange(G, dtype=jnp.int32))
+    gword = (jnp.sum(jnp.where(sample, bitg, 0), axis=2)
+             | (jnp.sum(jnp.where(minskip, bitg, 0), axis=2) << 8))
+    return word.astype(jnp.int32), gword.astype(jnp.int32)
+
+
+def bound_reaches(gspans) -> tuple[int, int, int]:
+    """Static per-axis forward reaches: a box of span s starting anywhere in
+    a cell is covered by ``ceil((s + b - 1) / b)`` cells of size b."""
+    b = BOUND_BLOCK
+    sy, sz, sx = (int(gspans[0]), int(gspans[1]), int(gspans[2]))
+    return (-(-(sz + b - 1) // b), -(-(sy + b - 1) // b),
+            -(-(sx + b - 1) // b))
+
+
+@functools.partial(jax.jit, static_argnames=("n_pos", "k"))
+def _group_span_max(gmins, gmaxs, n_pos, k):
+    """Worst-case per-(window, lane-group) union box extents ((3,) [y,z,x])
+    — the static input to ``bound_reaches``."""
+    T, _, G, _ = gmins.shape
+    P = -(-n_pos // k)
+    pad = k * P - n_pos
+    mn = gmins[:, :n_pos]
+    mx = gmaxs[:, :n_pos]
+    if pad:
+        mn = jnp.concatenate(
+            [mn, jnp.full((T, pad, G, 3), BIG, mn.dtype)], axis=1)
+        mx = jnp.concatenate(
+            [mx, jnp.full((T, pad, G, 3), -BIG, mx.dtype)], axis=1)
+    gmn = mn.reshape(T, P, k, G, 3).min(axis=2)
+    gmx = mx.reshape(T, P, k, G, 3).max(axis=2)
+    ne = (gmx[..., 0] >= gmn[..., 0])[..., None]
+    return jnp.where(ne, gmx - gmn + 1, 0).max(axis=(0, 1, 2))
+
+
 class IsosurfacePlan:
     """Plan-once / render-many isosurface raycaster.  ``bind(volume)`` builds
     the occupancy word table so empty space is skipped exactly; unbound plans
@@ -588,10 +753,15 @@ class IsosurfacePlan:
                          or H % TILE_H != 0 or W % (G * TILE_W) != 0)
         if pooled and (X % 256 != 0 or Z % 8 != 0):
             shapes_ok = False
+        self.gwords = None
+        self.gmins = self.gmaxs = None
         if shapes_ok:
             n_pos = self.max_samples + 1  # sampled positions 0..max_samples
-            spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
-                                                self.dims, n_pos, G=G)
+            spans, mins, maxs, gmins, gmaxs, texit = _footprint_scan(
+                entry_uv, direction, hit, self.dims, n_pos, G=G,
+                per_group=True)
+            self.texit = texit
+            self.gmins, self.gmaxs = gmins, gmaxs
             span_y, span_z = int(spans[0]), int(spans[1])
 
             def wy_for(sy):
@@ -637,6 +807,11 @@ class IsosurfacePlan:
                 self.shade_k = ks
                 self.shade_win_z = max(4, int(gsk[1]))
                 self.shade_win_y = 8 * (-(-int(gsk[0]) // 8))
+                # the shade pass is gather-bound over its window rows, so
+                # narrow 128-lane panels halve it when the padded x reach
+                # fits (round 5)
+                self.shade_narrow = (int(gsk[2]) + 2 * shade_pad_x(self.dims)
+                                     <= NARROW_SPAN_X)
                 # _shade_pads budgets +2 texels past the DELTA taps for the
                 # one-step bisection bracket + trilinear reach.  Per-step
                 # texel motion is |direction_i| (step = direction/dims), <= 1
@@ -656,18 +831,40 @@ class IsosurfacePlan:
                           pooled, lane_groups=1)
             return
         if self.use_kernel:
+            # texr row: position t can anchor/complete a crossing iff
+            # t <= min(texit, n_pos - 1) — one compare in the kernel
+            texr = jnp.minimum(self.texit, self.max_samples).astype(
+                jnp.float32)
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
-                                          G=G)
+                                          G=G, t_exit=texr)
 
     def bind(self, volume=None, iso_value=40.0 / 255.0, mip8=None):
         """Occupancy word table for this volume + isovalue (exact skipping).
         Pass ``mip8`` to skip from compressed-tree metadata with no
-        dense-volume pass (``codecs.device.tree_occupancy_mip8``)."""
+        dense-volume pass (``codecs.device.tree_occupancy_mip8``).
+
+        With a dense ``volume`` and a grouped plan this ALSO builds the
+        per-(tile, window, lane-group) bound words (``build_iso_tables``,
+        stored as ``self.gwords`` and picked up by :meth:`render`): the
+        fine-grained max-skip / min-skip gates that carry most of the iso
+        march's empty-work elimination on fields where the tile-level bound
+        is too coarse to bite."""
         assert self.use_kernel
         # skip iff the (integer-valued) window bound is strictly below iso:
         # wmax > iso255 - 1e-3  <=>  wmax >= iso255 for 8-bit window maxima
         thr = jnp.float32(iso_value * 255.0 - 1e-3)
         if self.group > 1:
+            if volume is not None and self.gmins is not None:
+                n_pos = self.max_samples + 1
+                reaches = bound_reaches(_group_span_max(
+                    self.gmins, self.gmaxs, n_pos, self.group))
+                words, gwords = build_iso_tables(
+                    self.mins, self.maxs, self.gmins, self.gmaxs, self.dims,
+                    self.win_z, n_pos, self.group, self.win_y, volume,
+                    jnp.float32(iso_value * 255.0), reaches, self.lanes)
+                self.gwords = gwords
+                return words
+            self.gwords = None
             return build_word_table_group(
                 self.mins, self.maxs, self.dims, self.win_z,
                 self.max_samples + 1, volume=volume, threshold=thr,
@@ -695,10 +892,15 @@ class IsosurfacePlan:
         H, W = self.shape
         iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
         if self.group > 1:
+            # gwords only pair with their own bind's words (both derive from
+            # the same volume+iso); a caller-supplied words table without a
+            # matching bind runs ungated
+            gwords = self.gwords if words is not self.words_dense else None
             found_t, t_hit_t = _launch_group(
                 self.rays_packed, words, volume, iso255, self.dims,
                 self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
-                group=self.group, lanes=self.lanes, xwords=self.xwords)
+                group=self.group, lanes=self.lanes, xwords=self.xwords,
+                gwords=gwords)
             if shade in ("auto", "kernel") and getattr(
                     self, "shade_kernel_ok", True):
                 return self._render_shaded_kernel(volume, found_t, t_hit_t,
@@ -722,6 +924,9 @@ class IsosurfacePlan:
         swords = build_shade_words(found_t, t_hit_t, self.mins, self.maxs,
                                    self.dims, n_pos, ks, win_zs,
                                    win_ys, pad_z, shift_y)
+        sxwords = build_shade_xwords(self.mins, self.maxs, self.dims, n_pos,
+                                     ks, shade_pad_x(self.dims)) \
+            if getattr(self, "shade_narrow", False) else None
         hr = max(8, 2 * G)
         rows = [found_t, t_hit_t]
         if hr > 2 * G:
@@ -730,7 +935,8 @@ class IsosurfacePlan:
         hit_rows = jnp.concatenate(rows, axis=1)
         r_t, g_t, b_t = _launch_shade(self.rays_packed, swords, hit_rows,
                                       volume, iso255, self.dims, n_pos,
-                                      win_zs, win_ys, ks, lanes=G)
+                                      win_zs, win_ys, ks, lanes=G,
+                                      xwords=sxwords)
         rgb = jnp.stack([_untile(r_t, H, W, G), _untile(g_t, H, W, G),
                          _untile(b_t, H, W, G)], axis=-1)
         found = _untile(found_t, H, W, G) > 0.5
@@ -878,13 +1084,35 @@ def build_shade_words(found_t, t_hit_t, mins, maxs, dims, n_pos, k, win_zs,
     return word.astype(jnp.int32)
 
 
-def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
-                    tile, mask, *, dims, n_pos, win_zs, iso, k, win_ys, G):
+def shade_pad_x(dims) -> int:
+    """Static x pad of the shade reach (±DELTA taps + bisection/trilinear)."""
+    import math
+
+    return int(math.ceil(DELTA * dims[0])) + 2
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_pos", "k", "pad_x"))
+def build_shade_xwords(mins, maxs, dims, n_pos, k, pad_x):
+    """Narrow-x panel words for the shade windows: the march group unions
+    padded by the shading reach in x, run through the same panel chooser as
+    the march (``build_xword_table``)."""
+    mn = mins.at[..., 2].add(-pad_x)
+    mx = maxs.at[..., 2].add(pad_x)
+    return build_xword_table(mn, mx, dims, n_pos, k=k)
+
+
+def _shade_one_tile(rays_ref, org_ref, xorg_ref, hit_ref, vol_ref, out_ref,
+                    slab, sem, tile, mask, *, dims, n_pos, win_zs, iso, k,
+                    win_ys, G):
     """Shade all hit rays of one tile, one window DMA per hit-bearing step
     group.  Out rows per lane group g: 8g+0..2 = rgb (white init for
-    misses, matching ``isosurface.frag:79`` / ``main.cpp:392``)."""
+    misses, matching ``isosurface.frag:79`` / ``main.cpp:392``).  With
+    ``xorg_ref`` the windows are 128-lane narrow panels — the shade tents
+    are gather-bound over win_zs*win_ys rows, so the single-chunk gather
+    roughly halves the pass."""
     END = -(-n_pos // k)
     z0i = jnp.int32(0)
+    narrow = xorg_ref is not None
     e = [[rays_ref[tile, 8 * g + i:8 * g + i + 1, :] for i in range(3)]
          for g in range(G)]
     d = [[rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :] for i in range(3)]
@@ -892,8 +1120,11 @@ def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
     for g in range(G):
         out_ref[tile, 8 * g:8 * g + 8, :] = jnp.ones((8, 128), jnp.float32)
 
-    dma = _window_dma(vol_ref, slab, sem, None, False, win_zs, win_ys)
+    dma = _window_dma(vol_ref, slab, sem, None, narrow, win_zs, win_ys)
     pslot = 2 + jax.lax.rem(tile, 2)
+
+    def xword(t):
+        return xorg_ref[tile, t] if narrow else jnp.int32(0)
 
     t0 = _first_group(org_ref, tile, END)
     has_win = t0 < END
@@ -904,66 +1135,77 @@ def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
 
     t_first = jnp.where(has_win, t0, 0)
     pend0 = org_ref[tile, t_first]
+    pendx0 = xword(t_first)
 
-    def shade_group(slot, oz_c, oy_c, p):
+    def shade_group(slot, oz_c, oy_c, xeff, p):
         """All shading for rays whose hit group is ``p`` (isosurface.frag
         arithmetic via ``_shade_impl``'s formulas, tent-sampled)."""
         lo_f = (p * k).astype(jnp.float32)
 
         def samp(px, py, pz):
             return tent_sample(slab[slot], px, py, pz, oz_c, oy_c, dims,
-                               win_zs, win_y=win_ys) * (1.0 / 255.0)
+                               win_zs, xeff=xeff,
+                               win_y=win_ys) * (1.0 / 255.0)
 
         for g in range(G):
             found = hit_ref[tile, g:g + 1, :] > 0.5
             th = hit_ref[tile, G + g:G + g + 1, :]
             active = found & (th >= lo_f) & (th < lo_f + float(k))
-            # pos_near/far = _shade_impl's brackets (entry + (t_hit+1)*step)
-            near = [e[g][i] + (th + 1.0) * d[g][i] for i in range(3)]
-            far = [near[i] + d[g][i] for i in range(3)]
-            left, right = near, far
-            for _ in range(4):  # Bisection, isosurface.frag:23-42
-                mid = [(right[i] + left[i]) * 0.5 for i in range(3)]
-                c_m = samp(mid[0], mid[1], mid[2])
-                go_left = c_m < iso
-                left = [jnp.where(go_left, mid[i], left[i])
-                        for i in range(3)]
-                right = [jnp.where(go_left, right[i], mid[i])
-                         for i in range(3)]
-            tc = [(right[i] + left[i]) * 0.5 for i in range(3)]
-            # central-difference normal, isosurface.frag:47-62
-            N = []
-            for i in range(3):
-                m1 = [tc[j] - (DELTA if j == i else 0.0) for j in range(3)]
-                p1 = [tc[j] + (DELTA if j == i else 0.0) for j in range(3)]
-                s1 = samp(m1[0], m1[1], m1[2])
-                s2 = samp(p1[0], p1[1], p1[2])
-                N.append((s1 - s2) * 0.5)
-            nrm = jnp.sqrt(N[0] * N[0] + N[1] * N[1] + N[2] * N[2])
-            inv = 1.0 / jnp.where(nrm > 0, nrm, 1.0)
-            N = [N[i] * inv for i in range(3)]
-            # Phong with headlight L = V = -dir, isosurface.frag:69-75.
-            # rays_packed rows carry the anisotropic STEP vector
-            # (direction / dims); undo the per-axis scale to recover the
-            # unit view direction (half = normalize(L+V) collapses to it)
-            V = [-d[g][0] * float(dims[0]), -d[g][1] * float(dims[1]),
-                 -d[g][2] * float(dims[2])]
-            vn = jnp.sqrt(V[0] * V[0] + V[1] * V[1] + V[2] * V[2])
-            Vn = [V[i] / vn for i in range(3)]
-            diff = jnp.maximum(Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2],
-                               0.0)
-            spec = jnp.power(jnp.maximum(
-                jnp.float32(1e-5),
-                Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2]),
-                jnp.float32(SPEC_POWER))
-            for c in range(3):
-                col = jnp.clip(diff * DIFFUSE[c] + spec, 0.0, 1.0)
-                row = out_ref[tile, 8 * g + c:8 * g + c + 1, :]
-                out_ref[tile, 8 * g + c:8 * g + c + 1, :] = jnp.where(
-                    active, col, row)
+
+            # per-(window, lane-group) gate (round 5): a hit-bearing step
+            # group usually holds hits for only SOME of the G lane groups —
+            # skip the other groups' 10 tent evals entirely (one cross-lane
+            # any per group; inactive groups' out rows stay untouched)
+            @pl.when(jnp.any(active))
+            def _(g=g, found=found, th=th, active=active):
+                # pos_near/far = _shade_impl brackets (entry + (t_hit+1)*step)
+                near = [e[g][i] + (th + 1.0) * d[g][i] for i in range(3)]
+                far = [near[i] + d[g][i] for i in range(3)]
+                left, right = near, far
+                for _ in range(4):  # Bisection, isosurface.frag:23-42
+                    mid = [(right[i] + left[i]) * 0.5 for i in range(3)]
+                    c_m = samp(mid[0], mid[1], mid[2])
+                    go_left = c_m < iso
+                    left = [jnp.where(go_left, mid[i], left[i])
+                            for i in range(3)]
+                    right = [jnp.where(go_left, right[i], mid[i])
+                             for i in range(3)]
+                tc = [(right[i] + left[i]) * 0.5 for i in range(3)]
+                # central-difference normal, isosurface.frag:47-62
+                N = []
+                for i in range(3):
+                    m1 = [tc[j] - (DELTA if j == i else 0.0)
+                          for j in range(3)]
+                    p1 = [tc[j] + (DELTA if j == i else 0.0)
+                          for j in range(3)]
+                    s1 = samp(m1[0], m1[1], m1[2])
+                    s2 = samp(p1[0], p1[1], p1[2])
+                    N.append((s1 - s2) * 0.5)
+                nrm = jnp.sqrt(N[0] * N[0] + N[1] * N[1] + N[2] * N[2])
+                inv = 1.0 / jnp.where(nrm > 0, nrm, 1.0)
+                N = [N[i] * inv for i in range(3)]
+                # Phong with headlight L = V = -dir, isosurface.frag:69-75.
+                # rays_packed rows carry the anisotropic STEP vector
+                # (direction / dims); undo the per-axis scale to recover the
+                # unit view direction (half = normalize(L+V) collapses to it)
+                V = [-d[g][0] * float(dims[0]), -d[g][1] * float(dims[1]),
+                     -d[g][2] * float(dims[2])]
+                vn = jnp.sqrt(V[0] * V[0] + V[1] * V[1] + V[2] * V[2])
+                Vn = [V[i] / vn for i in range(3)]
+                diff = jnp.maximum(
+                    Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2], 0.0)
+                spec = jnp.power(jnp.maximum(
+                    jnp.float32(1e-5),
+                    Vn[0] * N[0] + Vn[1] * N[1] + Vn[2] * N[2]),
+                    jnp.float32(SPEC_POWER))
+                for c in range(3):
+                    col = jnp.clip(diff * DIFFUSE[c] + spec, 0.0, 1.0)
+                    row = out_ref[tile, 8 * g + c:8 * g + c + 1, :]
+                    out_ref[tile, 8 * g + c:8 * g + c + 1, :] = jnp.where(
+                        active, col, row)
 
     def body(carry):
-        t_cur, cnt, pend, mask = carry
+        t_cur, cnt, pend, pendx, mask = carry
         is_first = cnt == 0
         slot_i = jax.lax.rem(cnt, 2)
         # == rem(cnt-1, 2) for cnt >= 1, non-negative so shifts are defined
@@ -972,6 +1214,7 @@ def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
         w = org_ref[tile, t_cur]
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
+        xeff = pendx & 0xFFFF
 
         @pl.when(~is_first)
         def _():
@@ -982,6 +1225,7 @@ def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
         t_next = jnp.where(nd > 0, t_cur + nd, END)
         t_issue = jnp.where(nd > 0, t_cur + nd, t_cur)
         w_next = org_ref[tile, t_issue]
+        x_next = xword(t_issue)
         _, oz_n, oy_n, _ = _unpack_word(w_next)
 
         @pl.when((nd > 0) & (((mask >> slot_i) & 1) == 1))
@@ -990,17 +1234,18 @@ def _shade_one_tile(rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem,
 
         @pl.when(nd > 0)
         def _():
-            dma(slot_i, oz_n, oy_n, z0i).start()
+            dma(slot_i, oz_n, oy_n, x_next).start()
 
         mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
-        shade_group(sslot, oz_c, oy_c, t_cur)
-        return t_next, cnt + 1, w_next, mask
+        shade_group(sslot, oz_c, oy_c, xeff, t_cur)
+        return t_next, cnt + 1, w_next, x_next, mask
 
     def cond(carry):
         return carry[0] < END
 
-    end = jax.lax.while_loop(cond, body, (t0, jnp.int32(0), pend0, mask))
-    return end[3]
+    end = jax.lax.while_loop(cond, body,
+                             (t0, jnp.int32(0), pend0, pendx0, mask))
+    return end[4]
 
 
 def _shade_kernel(rays_ref, org_ref, hit_ref, iso_ref, vol_ref, out_ref,
@@ -1010,47 +1255,78 @@ def _shade_kernel(rays_ref, org_ref, hit_ref, iso_ref, vol_ref, out_ref,
     _pipelined_tiles(
         org_ref, None, dma, END, t_per,
         lambda tile, mask: _shade_one_tile(
-            rays_ref, org_ref, hit_ref, vol_ref, out_ref, slab, sem, tile,
-            mask, dims=dims, n_pos=n_pos, win_zs=win_zs,
+            rays_ref, org_ref, None, hit_ref, vol_ref, out_ref, slab, sem,
+            tile, mask, dims=dims, n_pos=n_pos, win_zs=win_zs,
+            iso=iso_ref[0, 0] * (1.0 / 255.0), k=k, win_ys=win_ys, G=G))
+
+
+def _shade_kernel_narrow(rays_ref, org_ref, xorg_ref, hit_ref, iso_ref,
+                         vol_ref, out_ref, slab, sem, *, dims, n_pos, win_zs,
+                         k, win_ys, t_per, G):
+    END = -(-n_pos // k)
+    dma = _window_dma(vol_ref, slab, sem, None, True, win_zs, win_ys)
+    _pipelined_tiles(
+        org_ref, xorg_ref, dma, END, t_per,
+        lambda tile, mask: _shade_one_tile(
+            rays_ref, org_ref, xorg_ref, hit_ref, vol_ref, out_ref, slab,
+            sem, tile, mask, dims=dims, n_pos=n_pos, win_zs=win_zs,
             iso=iso_ref[0, 0] * (1.0 / 255.0), k=k, win_ys=win_ys, G=G))
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_zs",
                                              "win_ys", "k", "lanes"))
 def _launch_shade(rays_packed, shade_words, hit_rows, volume, iso255, dims,
-                  n_pos, win_zs, win_ys, k, lanes=1):
+                  n_pos, win_zs, win_ys, k, lanes=1, xwords=None):
+    from .raycast_kernel import pack_pairs_narrow
+
     n_tiles = rays_packed.shape[0]
     G = lanes
     P = -(-n_pos // k)
     t_per = _t_per(n_tiles)
+    narrow = xwords is not None
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert shade_words.shape == (n_tiles, P), (shade_words.shape, P)
     assert hit_rows.shape == (n_tiles, max(8, 2 * G), 128), hit_rows.shape
-    vol_pairs = pack_pairs(volume)
-    kernel = functools.partial(_shade_kernel, dims=dims, n_pos=n_pos,
-                               win_zs=win_zs, k=k, win_ys=win_ys,
-                               t_per=t_per, G=G)
+    ray_spec = pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    word_spec = pl.BlockSpec((t_per, P), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    hit_spec = pl.BlockSpec((t_per, max(8, 2 * G), 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    iso_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    if narrow:
+        assert xwords.shape == (n_tiles, P), xwords.shape
+        vol_pairs = pack_pairs_narrow(volume)
+        slab_w = 128
+        kernel = functools.partial(_shade_kernel_narrow, dims=dims,
+                                   n_pos=n_pos, win_zs=win_zs, k=k,
+                                   win_ys=win_ys, t_per=t_per, G=G)
+        in_specs = [ray_spec, word_spec, word_spec, hit_spec, iso_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        operands = (rays_packed, shade_words, xwords, hit_rows, iso255,
+                    vol_pairs)
+    else:
+        vol_pairs = pack_pairs(volume)
+        slab_w = dims[0]
+        kernel = functools.partial(_shade_kernel, dims=dims, n_pos=n_pos,
+                                   win_zs=win_zs, k=k, win_ys=win_ys,
+                                   t_per=t_per, G=G)
+        in_specs = [ray_spec, word_spec, hit_spec, iso_spec,
+                    pl.BlockSpec(memory_space=pl.ANY)]
+        operands = (rays_packed, shade_words, hit_rows, iso255, vol_pairs)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
-        in_specs=[
-            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_per, P), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((t_per, max(8, 2 * G), 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8 * G, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, win_zs, win_ys, dims[0]), jnp.float32),
+            pltpu.VMEM((4, win_zs, win_ys, slab_w), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
-    )(rays_packed, shade_words, hit_rows, iso255, vol_pairs)
+    )(*operands)
     # rgb rows 8g+0..2 per lane group
     return out[:, 0::8, :], out[:, 1::8, :], out[:, 2::8, :]
 

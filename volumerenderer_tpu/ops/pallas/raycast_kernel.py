@@ -200,12 +200,26 @@ def _march_kernel_narrow(rays_ref, org_ref, xorg_ref, vol_ref, out_ref, slab,
         win_y=win_y, t_per=t_per, G=G)
 
 
+
 def _march_kernel_pooled(rays_ref, org_ref, map_ref, vol_ref, out_ref, slab,
                          state, sem, *, dims, max_samples, win_z, group=2,
                          win_y=WIN_Y, t_per=T_PER, G=1):
     _march_tiles_group(
         rays_ref, org_ref, None, map_ref, vol_ref, out_ref, slab, state, sem,
         dims=dims, max_samples=max_samples, win_z=win_z, fmt="i32half",
+        k=group, win_y=win_y, t_per=t_per, G=G)
+
+
+def _march_kernel_pooled_narrow(rays_ref, org_ref, xorg_ref, map_ref, vol_ref,
+                                out_ref, slab, state, sem, *, dims,
+                                max_samples, win_z, group=2, win_y=WIN_Y,
+                                t_per=T_PER, G=1):
+    """Narrow slab-pool march: the f32 pair tent path of the dense narrow
+    kernel (no i32half unpack) with windows sourced from the sparse
+    chunk-major slab pool (``build_slab_pool_narrow``)."""
+    _march_tiles_group(
+        rays_ref, org_ref, xorg_ref, map_ref, vol_ref, out_ref, slab, state,
+        sem, dims=dims, max_samples=max_samples, win_z=win_z, fmt="f32pair",
         k=group, win_y=win_y, t_per=t_per, G=G)
 
 
@@ -218,7 +232,15 @@ def _window_dma(vol_ref, slab, sem, map_ref, narrow, win_z, win_y):
     pooled = map_ref is not None
 
     def dma(slot, oz, oy, xw):
-        if pooled:
+        if pooled and narrow:
+            # narrow slab pool (build_slab_pool_narrow): chunk-major
+            # (nchunks, slots*SLAB_H, Y, 128) f32 — the xword picks the
+            # 128-lane panel exactly as in the dense narrow layout, the
+            # slab map picks the resident z-slot
+            ms = map_ref[0, oz >> 3]
+            src = vol_ref.at[xw >> 16, pl.ds(ms * SLAB_H + (oz & 7), win_z),
+                             pl.ds(oy, win_y), :]
+        elif pooled:
             # 3D flattened pool: slot rows at [16*slot, 16*slot + SLAB_H)
             ms = map_ref[0, oz >> 3]
             src = vol_ref.at[pl.ds(ms * SLAB_H + (oz & 7), win_z),
@@ -471,6 +493,13 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
                           for g in range(G)], axis=0) for i in range(3)]
     hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
                             for g in range(G)], axis=0)
+    # per-ray exit row (_footprint_scan texit, clamped to max_samples):
+    # position t is inside the cube AND below the march cap iff t < texr —
+    # ONE broadcast compare replaces the 6-compare/5-and bounds test per
+    # substep (the bounds chain was ~11 VPU ops of the ~850 ns/window
+    # residual, round-4 roofline)
+    texr = jnp.concatenate([rays_ref[tile, 8 * g + 7:8 * g + 8, :]
+                            for g in range(G)], axis=0)
     state[0 * G:1 * G, :] = e[0] + d[0]
     state[1 * G:2 * G, :] = e[1] + d[1]
     state[2 * G:3 * G, :] = e[2] + d[2]
@@ -502,15 +531,13 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         state[1 * G:2 * G, :] = state[1 * G:2 * G, :] + d[1]
         state[2 * G:3 * G, :] = state[2 * G:3 * G, :] + d[2]
 
-    def substep(slot, oz_c, oy_c, xeff, step_ok):
+    def substep(slot, oz_c, oy_c, xeff, t):
         px = state[0 * G:1 * G, :]
         py = state[1 * G:2 * G, :]
         pz = state[2 * G:3 * G, :]
         color = state[3 * G:4 * G, :]
         alpha = state[4 * G:5 * G, :]
-        inside = ((px > 0.0) & (px < 1.0) & (py > 0.0) & (py < 1.0)
-                  & (pz > 0.0) & (pz < 1.0))
-        alive = (state[5 * G:6 * G, :] > 0.5) & inside & step_ok
+        alive = (state[5 * G:6 * G, :] > 0.5) & (texr > t)
         smp = jnp.concatenate(
             [tent_sample(slab[slot], px[g:g + 1], py[g:g + 1], pz[g:g + 1],
                          oz_c, oy_c, dims, WIN_Z, xeff=xeff, fmt=fmt,
@@ -538,7 +565,9 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
         nd, oz_c, oy_c, _ = _unpack_word(pend)
         xeff = pendx & 0xFFFF
 
-        # gap-run to step index k*t_cur (bit-exact with the dense march)
+        # gap-run to step index k*t_cur (bit-exact with the dense march).
+        # (A straight-line-advance + rare-branch variant measured EVEN with
+        # this plain loop on the headline config, round 5 — keep the loop.)
         def adv_body(i):
             advance()
             return i + 1
@@ -573,16 +602,17 @@ def _march_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab, state,
 
         mask = jnp.where(nd > 0, mask | (1 << slot_i), mask)
 
-        # a partial last group's trailing substeps never composite (exactly
-        # the dense march, which stops at max_samples)
-        substep(sslot, oz_c, oy_c, xeff, k * t_cur < max_samples)
+        # texr is clamped to max_samples, so the same compare also masks a
+        # partial last group's trailing substeps (exactly the dense march,
+        # which stops at max_samples)
+        t_f = (k * t_cur).astype(jnp.float32)
+        substep(sslot, oz_c, oy_c, xeff, t_f)
 
         # remaining k-1 steps of the group from the same window
         any_alive = jnp.bool_(True)
         for j in range(1, k):
             advance()
-            any_alive = substep(sslot, oz_c, oy_c, xeff,
-                                k * t_cur + j < max_samples)
+            any_alive = substep(sslot, oz_c, oy_c, xeff, t_f + float(j))
         return (k * t_cur + (k - 1), t_next, cnt + 1, any_alive, w_next,
                 x_next, mask)
 
@@ -697,6 +727,103 @@ def build_slab_pool(volume, mip8=None):
     return pool, jnp.asarray(slots[None, :])
 
 
+def build_slab_pool_narrow(volume, mip8=None):
+    """Sparse z-slab residency in the NARROW dual-copy pair layout: the
+    compressed-domain render state that marches at DENSE-NARROW speed.
+
+    Same residency/dedup policy as :func:`build_slab_pool`, but each slot
+    holds its slab's rows of ``pack_pairs_narrow(volume)`` — chunk-major
+    ``(nchunks, n_slots*SLAB_H, Y, 128)`` f32 — so the pooled march uses the
+    exact f32-pair tent path (single-chunk gather, no i32half unpack) that
+    the headline dense kernel uses.  Cost: resident bytes per occupied slab
+    are 4x the pair16 pool (f32 words + the 64-shifted copy); the pair16
+    pool remains the low-memory option and both are bit-identical in
+    output.  Returns (pool, slab_map)."""
+    import numpy as np
+
+    Z, Y, X = volume.shape
+    assert Z % 8 == 0 and X % 128 == 0, (Z, X)
+    wide = np.asarray(pack_pairs_narrow(volume))  # (C, Z, Y, 128)
+    C = wide.shape[0]
+    m8 = np.asarray(block_max8(volume) if mip8 is None else mip8)
+    zocc = (m8 > 0.0).any(axis=(1, 2))
+    n_slabs = Z // 8
+    occ = zocc[:n_slabs].copy()
+    occ[:-1] |= zocc[1:n_slabs]
+    padded = np.concatenate(
+        [wide, np.zeros((C, 8, Y, 128), np.float32)], axis=1)
+    starts = 8 * np.nonzero(occ)[0].astype(np.int32)
+    rows = starts[:, None] + np.arange(SLAB_H, dtype=np.int32)[None]
+    slabs = padded[:, rows]  # (C, n_occ, SLAB_H, Y, 128)
+    slots = np.zeros(n_slabs, np.int32)
+    unique: dict[bytes, int] = {}
+    keep: list[int] = []
+    for i, s_idx in enumerate(np.nonzero(occ)[0]):
+        key = slabs[:, i].tobytes()
+        slot = unique.get(key)
+        if slot is None:
+            slot = 1 + len(keep)
+            unique[key] = slot
+            keep.append(i)
+        slots[s_idx] = slot
+    pool = np.concatenate(
+        [np.zeros((C, 1, SLAB_H, Y, 128), np.float32), slabs[:, keep]],
+        axis=1)  # (C, slots, SLAB_H, Y, 128)
+    pool = pool.reshape(C, -1, Y, 128)
+    return jnp.asarray(pool), jnp.asarray(slots[None, :])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "max_samples", "win_z", "group",
+                                    "win_y", "lanes"))
+def _launch_pooled_narrow(rays_packed, words, xwords, pool, slab_map, dims,
+                          max_samples, win_z=4, group=2, win_y=WIN_Y,
+                          lanes=1):
+    """Compressed-domain launch over the NARROW slab pool
+    (``build_slab_pool_narrow``): dense-narrow march arithmetic, sparse
+    residency."""
+    n_tiles = rays_packed.shape[0]
+    G = lanes
+    X, Y, Z = dims
+    n_words = -(-max_samples // group)
+    t_per = _t_per(n_tiles)
+    assert group > 1 and win_z <= POOL_WIN_Z_MAX, (group, win_z)
+    assert rays_packed.shape[1] == 8 * G and 1 <= G <= LANE_GROUPS_MAX, \
+        rays_packed.shape
+    assert words.shape == (n_tiles, n_words), (words.shape, n_words)
+    assert xwords.shape == (n_tiles, n_words), xwords.shape
+    assert pool.shape[0] == (2 * X) // 128 and pool.shape[2:] == (Y, 128), \
+        pool.shape
+    assert slab_map.shape == (1, Z // 8), slab_map.shape
+    word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(_march_kernel_pooled_narrow, dims=dims,
+                               max_samples=max_samples, win_z=win_z,
+                               group=group, win_y=win_y, t_per=t_per, G=G)
+    out_rows = max(8, 2 * G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // t_per,),
+        in_specs=[
+            pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            word_spec, word_spec,
+            pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((t_per, out_rows, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, out_rows, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((N_RING + 2, win_z, win_y, 128), jnp.float32),
+            pltpu.VMEM((8 * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_RING + 2,)),
+        ],
+    )(rays_packed, words, xwords, slab_map, pool)
+    return out[:, 0:G, :], out[:, G:2 * G, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dims", "max_samples", "win_z", "group",
                                     "win_y", "lanes"))
@@ -720,13 +847,13 @@ def _launch(rays_packed, words, volume, dims, max_samples, win_z=4,
                             memory_space=pltpu.VMEM)
     if narrow:
         vol_pairs = pack_pairs_narrow(volume)
+        slab_w = 128
         kernel = functools.partial(_march_kernel_narrow, dims=dims,
                                    max_samples=max_samples, win_z=win_z,
                                    group=group, win_y=win_y, t_per=t_per, G=G)
         in_specs = [ray_spec, word_spec, word_spec,
                     pl.BlockSpec(memory_space=pl.ANY)]
         operands = (rays_packed, words, xwords, vol_pairs)
-        slab_w = 128
     else:
         vol_pairs = pack_pairs(volume)
         kernel = functools.partial(_march_kernel, dims=dims,
@@ -815,9 +942,11 @@ def _tile_lanes(a, G: int = 1):
     return t.transpose(0, 2, 3, 1, 4).reshape(-1, G, TILE_H * TILE_W)
 
 
-def _pack_rays(entry_uv, direction, hit, dims, G: int = 1):
+def _pack_rays(entry_uv, direction, hit, dims, G: int = 1, t_exit=None):
     """(H, W, 3)+(H, W) -> (tiles, 8*G, 128) f32: per lane group g, rows
-    8g+0-2 entry, 8g+3-5 dirStep, 8g+6 hit, 8g+7 pad.  A tile is
+    8g+0-2 entry, 8g+3-5 dirStep, 8g+6 hit, 8g+7 t_exit (the per-ray
+    leading-inside position count from ``_footprint_scan``, already tiled
+    as (tiles, G, 128); pad when absent).  A tile is
     TILE_H x (G*TILE_W) pixels — G vregs of 128 rays sharing one window DMA,
     one control-word stream, and one march loop, so the per-tile scalar
     overhead (the dominant frame cost at the headline config, see
@@ -829,7 +958,8 @@ def _pack_rays(entry_uv, direction, hit, dims, G: int = 1):
     rows = [_tile_lanes(entry_uv[..., i], G) for i in range(3)]
     rows += [_tile_lanes(step[..., i], G) for i in range(3)]
     rows.append(_tile_lanes(hit.astype(jnp.float32), G))
-    rows.append(jnp.zeros_like(rows[0]))
+    rows.append(jnp.zeros_like(rows[0]) if t_exit is None
+                else t_exit.astype(jnp.float32))
     stacked = jnp.stack(rows, axis=2)  # (tiles, G, 8, 128)
     return stacked.reshape(stacked.shape[0], -1, 128)  # (tiles, 8G, 128)
 
@@ -840,9 +970,10 @@ def _untile(a, H, W, G: int = 1):
     return t.transpose(0, 3, 1, 2, 4).reshape(H, W)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "G"))
+@functools.partial(jax.jit, static_argnames=("dims", "max_samples", "G",
+                                             "per_group"))
 def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES,
-                    G: int = 1):
+                    G: int = 1, per_group: bool = False):
     """Footprint prepass: per-(tile, step) window mins plus global max spans.
 
     Jitted as ONE program: dispatched eagerly, the 300-step ``lax.scan``
@@ -853,7 +984,17 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES,
     bit-for-bit so the precomputed windows are exactly the ones the in-kernel
     taps address.  Returns (spans (3,) i32 [span_y_aligned, span_z, span_x],
     mins (tiles, max_samples+1, 3) i32 [y0_min, z0_min, x0_min],
-    maxs (tiles, max_samples+1, 3) i32 [y1_max, z1_max, x1_max])."""
+    maxs (tiles, max_samples+1, 3) i32 [y1_max, z1_max, x1_max],
+    texit (tiles, G, 128) i32 — per-ray count of leading inside positions,
+    i.e. position t is inside the cube iff t < texit; exact because inside
+    is monotone along a ray entering a convex cube, and bit-consistent with
+    the kernels' own position recurrence by the replay argument above).
+
+    With ``per_group=True`` additionally returns per-LANE-GROUP footprints
+    (gmins, gmaxs) of shape (tiles, max_samples+1, G, 3) in the same
+    [y, z, x] order — the basis for the isosurface per-group occupancy
+    bounds (a single lane group's footprint is ~G× tighter than the tile
+    union, which is what makes fine-grained bound skipping bite)."""
     X, Y, Z = dims
     H, W, _ = entry_uv.shape
     step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
@@ -867,16 +1008,21 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES,
 
     fdims = jnp.array([X, Y, Z], jnp.float32)
 
-    def scan_step(pos, _):
+    def scan_step(carry, _):
+        pos, prev_in, still, texit = carry
         pos = pos + d
         inside = jnp.all((pos > 0.0) & (pos < 1.0), axis=-1) & hv
+        still = still & inside
+        texit = texit + still.astype(jnp.int32)
         tex = pos * fdims - 0.5
         i0 = jnp.floor(tex).astype(jnp.int32)
         lo = jnp.clip(i0, 0, jnp.array([X - 1, Y - 1, Z - 1]))
         hi = jnp.clip(i0 + 1, 0, jnp.array([X - 1, Y - 1, Z - 1]))
         big = jnp.int32(BIG)
-        mn = jnp.min(jnp.where(inside[..., None], lo, big), axis=1)
-        mx = jnp.max(jnp.where(inside[..., None], hi, -big), axis=1)
+        lo_m = jnp.where(inside[..., None], lo, big)
+        hi_m = jnp.where(inside[..., None], hi, -big)
+        mn = jnp.min(lo_m, axis=1)
+        mx = jnp.max(hi_m, axis=1)
         any_in = jnp.any(inside, axis=1)
         # y window must fit after 8-alignment of the origin
         span_y = jnp.where(any_in, mx[:, 1] - (mn[:, 1] // 8) * 8 + 1, 0)
@@ -884,16 +1030,42 @@ def _footprint_scan(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES,
         span_x = jnp.where(any_in, mx[:, 0] - mn[:, 0] + 1, 0)
         spans = jnp.stack([jnp.max(span_y), jnp.max(span_z),
                            jnp.max(span_x)])
-        return pos, (spans, mn[:, 1], mn[:, 2], mn[:, 0],
-                     mx[:, 1], mx[:, 2], mx[:, 0])
+        out = (spans, mn[:, 1], mn[:, 2], mn[:, 0],
+               mx[:, 1], mx[:, 2], mx[:, 0])
+        if per_group:
+            # BOUND boxes (not DMA windows): include rays whose PREVIOUS
+            # position was inside — their sample here is the clamp-sampled
+            # lookahead an exit crossing tests against — so a conservative
+            # bound over the box covers every sample a crossing can read
+            contrib = hv & (inside | prev_in)
+            glo = jnp.where(contrib[..., None], lo, big)
+            ghi = jnp.where(contrib[..., None], hi, -big)
+            T = lo_m.shape[0]
+            gmn = glo.reshape(T, G, TILE_H * TILE_W, 3).min(axis=2)
+            gmx = ghi.reshape(T, G, TILE_H * TILE_W, 3).max(axis=2)
+            out = out + (gmn, gmx)
+        return (pos, inside, still, texit), out
 
     pos0 = e
-    _, (spans, mn_y, mn_z, mn_x, mx_y, mx_z, mx_x) = jax.lax.scan(
-        scan_step, pos0, None, length=max_samples + 1)
+    in0 = jnp.zeros(hv.shape, bool)
+    still0 = jnp.ones(hv.shape, bool)
+    texit0 = jnp.zeros(hv.shape, jnp.int32)
+    (_, _, _, texit), outs = jax.lax.scan(
+        scan_step, (pos0, in0, still0, texit0), None,
+        length=max_samples + 1)
+    texit = texit.reshape(-1, G, TILE_H * TILE_W)
+    spans, mn_y, mn_z, mn_x, mx_y, mx_z, mx_x = outs[:7]
     spans = jnp.maximum(spans[:-1].max(axis=0), 0)  # extra step excluded
     mins = jnp.stack([mn_y.T, mn_z.T, mn_x.T], axis=-1)  # (tiles, S+1, 3)
     maxs = jnp.stack([mx_y.T, mx_z.T, mx_x.T], axis=-1)
-    return spans, mins, maxs
+    if per_group:
+        gmn, gmx = outs[7], outs[8]  # (S+1, tiles, G, 3) xyz -> [y, z, x]
+        gmins = jnp.stack([gmn[..., 1], gmn[..., 2], gmn[..., 0]], axis=-1)
+        gmaxs = jnp.stack([gmx[..., 1], gmx[..., 2], gmx[..., 0]], axis=-1)
+        gmins = gmins.transpose(1, 0, 2, 3)  # (tiles, S+1, G, 3)
+        gmaxs = gmaxs.transpose(1, 0, 2, 3)
+        return spans, mins, maxs, gmins, gmaxs, texit
+    return spans, mins, maxs, texit
 
 
 MIP_SPAN_X = 17  # max per-(tile, step) x extent the default occupancy covers
@@ -1132,7 +1304,8 @@ def build_xword_table(mins, maxs, dims, max_samples, k=2):
 def max_spans(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES):
     """Worst-case per-(tile, step) footprint extent (span_y after 8-alignment
     of the window origin, span_z); decides the compiled window height."""
-    spans, _, _ = _footprint_scan(entry_uv, direction, hit, dims, max_samples)
+    spans, _, _, _ = _footprint_scan(entry_uv, direction, hit, dims,
+                                     max_samples)
     return int(spans[0]), int(spans[1])
 
 
@@ -1249,8 +1422,11 @@ class CompositingPlan:
         if pooled and (X % 256 != 0 or Z % 8 != 0):
             shapes_ok = False
         if shapes_ok:
-            spans, mins, maxs = _footprint_scan(entry_uv, direction, hit,
-                                                self.dims, max_samples, G=G)
+            spans, mins, maxs, texit = _footprint_scan(
+                entry_uv, direction, hit, self.dims, max_samples, G=G)
+            # per-ray leading-inside count, clamped so one compare covers
+            # both the inside test and the max_samples cap in the kernel
+            self.texit = jnp.minimum(texit, max_samples).astype(jnp.float32)
             self.mins = mins
             self.maxs = maxs
             self.span_x = int(spans[2])  # per-step; occupancy gates on it
@@ -1294,7 +1470,10 @@ class CompositingPlan:
                 else:
                     self.words_dense = build_word_table_group(
                         mins, maxs, self.dims, wz, max_samples, k=k, win_y=wy)
-                    if not pooled and gspan_x <= NARROW_SPAN_X:
+                    # narrow-x windows serve the dense march AND the narrow
+                    # slab pool (pooled plans use them only when the pool is
+                    # the narrowf32 layout — see render_pooled)
+                    if gspan_x <= NARROW_SPAN_X:
                         self.xwords = build_xword_table(mins, maxs, self.dims,
                                                         max_samples, k=k)
         self.use_kernel = self.win_z is not None
@@ -1306,7 +1485,7 @@ class CompositingPlan:
             return
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
-                                          G=G)
+                                          G=G, t_exit=self.texit)
 
     @property
     def pairs(self):  # backward-compat alias
@@ -1352,18 +1531,30 @@ class CompositingPlan:
         return apply_reference_transfer(color, alpha), alpha
 
     def render_pooled(self, pool, slab_map, words=None):
-        """Compressed-domain render from an HBM-resident sparse slab pool
-        (``build_slab_pool``).  Requires a plan constructed with
-        ``pooled=True``.  Bit-identical samples/composites to the dense
-        kernel — only the window DMA source differs."""
+        """Compressed-domain render from an HBM-resident sparse slab pool.
+        Requires a plan constructed with ``pooled=True``.  Bit-identical
+        samples/composites to the dense kernel — only the window DMA source
+        differs.  The pool format picks the kernel: an int32 pool
+        (``build_slab_pool``, pair16 low-memory) runs the i32half tent; an
+        f32 chunk-major pool (``build_slab_pool_narrow``) runs the dense
+        narrow kernel's f32-pair tent — pooled at dense speed — and needs
+        the plan's narrow x words."""
         assert self.pooled and self.use_kernel
         H, W = self.shape
         if words is None:
             words = self.words_dense
-        color, alpha = _launch_pooled(self.rays_packed, words, pool, slab_map,
-                                      self.dims, self.max_samples,
-                                      win_z=self.win_z, group=self.group,
-                                      win_y=self.win_y, lanes=self.lanes)
+        if pool.dtype == jnp.float32:
+            assert self.xwords is not None, \
+                "narrow pool needs narrow-x windows (camera x-span too wide)"
+            color, alpha = _launch_pooled_narrow(
+                self.rays_packed, words, self.xwords, pool, slab_map,
+                self.dims, self.max_samples, win_z=self.win_z,
+                group=self.group, win_y=self.win_y, lanes=self.lanes)
+        else:
+            color, alpha = _launch_pooled(
+                self.rays_packed, words, pool, slab_map, self.dims,
+                self.max_samples, win_z=self.win_z, group=self.group,
+                win_y=self.win_y, lanes=self.lanes)
         color = _untile(color, H, W, self.lanes)
         alpha = _untile(alpha, H, W, self.lanes)
         return apply_reference_transfer(color, alpha), alpha
