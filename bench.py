@@ -86,18 +86,17 @@ def bench_isosurface(vol, plans_iso):
     words = [p.bind(vol, iso) for p in plans_iso]
     # plan arrays ride as ARGUMENTS (device-resident) — captured constants
     # would blow the remote-compile request past the tunnel's size limit
-    packs = [(p.rays_packed, w, p.xwords, p.gwords)
+    packs = [(p.rays_packed, w, p.xwords, p.gwords, p.state0, p.texit)
              for p, w in zip(plans_iso, words)]
     iso255 = jnp.full((1, 1), iso * 255.0, jnp.float32)
 
     @jax.jit
     def sweep(vol, packs):
         acc = jnp.float32(0)
-        for (rp, wd, xw, gw), p in zip(packs, plans_iso):
-            found_t, t_hit_t = IK._launch_group(
-                rp, wd, vol, iso255, p.dims, p.max_samples + 1,
-                win_z=p.win_z, win_y=p.win_y, group=p.group, lanes=p.lanes,
-                xwords=xw, gwords=gw)
+        for (rp, wd, xw, gw, st, tx), p in zip(packs, plans_iso):
+            found_t, t_hit_t = IK.march_phased(
+                rp, wd, gw, st, tx, vol, iso255, p.dims, p.max_samples + 1,
+                p.win_z, p.win_y, p.group, p.lanes, xwords=xw)
             n_pos = p.max_samples + 1
             pad_z, shift_y, win_zs, win_ys = IK._shade_pads(
                 p.dims, p.shade_win_z, p.shade_win_y)

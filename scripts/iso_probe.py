@@ -50,20 +50,12 @@ def main():
             rays.entry_uv, rays.direction, rays.hit, (256, 256, 256),
             lane_groups=int(g_force) if g_force else None))
     words = [p.bind(vol, iso) for p in plans]
-    gate = os.environ.get("VR_ISO_GATE", "full")  # full | words-only
-    packs = [(p.rays_packed, w, p.xwords,
-              None if gate == "words-only" else p.gwords)
+    phases = os.environ.get("VR_ISO_PHASES")  # e.g. "48,104"; "" = single
+    boundaries = tuple(int(x) for x in phases.split(",") if x) \
+        if phases is not None else (48, 104)
+    packs = [(p.rays_packed, w, p.xwords, p.gwords, p.state0, p.texit)
              for p, w in zip(plans, words)]
-    # static table statistics
-    for p, w in zip(plans, words):
-        wn = np.asarray(w)
-        g = np.asarray(p.gwords)
-        G = p.lanes
-        sb = np.stack([(g >> i) & 1 for i in range(G)], -1)
-        ms = np.stack([(g >> (8 + i)) & 1 for i in range(G)], -1)
-        print(f"# frame: sampled={float((wn & 1).mean()):.3f} "
-              f"gsample={float(sb.mean()):.3f} minskip={float(ms.mean()):.3f}",
-              flush=True)
+
 
     out = {"iso_value": iso, "frames": list(FRAMES),
            "plan": [{"k": p.group, "win_z": p.win_z, "win_y": p.win_y,
@@ -75,11 +67,11 @@ def main():
     def march_sweep(vol, packs):
         acc = jnp.float32(0)
         hits = []
-        for (rp, wd, xw, gw), p in zip(packs, plans):
-            found_t, t_hit_t = IK._launch_group(
-                rp, wd, vol, iso255, p.dims, p.max_samples + 1,
-                win_z=p.win_z, win_y=p.win_y, group=p.group, lanes=p.lanes,
-                xwords=xw, gwords=gw)
+        for (rp, wd, xw, gw, st, tx), p in zip(packs, plans):
+            found_t, t_hit_t = IK.march_phased(
+                rp, wd, gw, st, tx, vol, iso255, p.dims, p.max_samples + 1,
+                p.win_z, p.win_y, p.group, p.lanes, xwords=xw,
+                boundaries=boundaries)
             acc = acc + jnp.sum(found_t) + jnp.sum(t_hit_t)
             hits.append((found_t, t_hit_t))
         return acc, hits
@@ -111,7 +103,7 @@ def main():
     @jax.jit
     def shade_sweep(vol, packs, hit_rows_all):
         acc = jnp.float32(0)
-        for (rp, wd, xw, gw), p, (hit_rows, found_t, t_hit_t) in zip(
+        for (rp, wd, xw, gw, st, tx), p, (hit_rows, found_t, t_hit_t) in zip(
                 packs, plans, hit_rows_all):
             n_pos = p.max_samples + 1
             pad_z, shift_y, win_zs, win_ys = IK._shade_pads(

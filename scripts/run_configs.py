@@ -101,7 +101,12 @@ def config3(brick):
         # (VERDICT round 2 "Next" #4's recorded metric) vs the dense u8 brick
         pool, smap = r.slab_pool_at()
         resident = (tree.num_active_nodes + 3) // 4 + pool.nbytes + smap.nbytes
-        emit(3, tolerance=tol, build_s=build_s,
+        # which decode served volume_at(): the per-spec fallback memo flips
+        # only on a device-decode OOM (VERDICT r4 "Done" = decode=device at
+        # full size with the chunked decoder)
+        decode = "host" if CompressedRenderer._device_decode_broken.get(
+            r._spec_key(r.spec["max_depth"])) else "device"
+        emit(3, tolerance=tol, build_s=build_s, decode=decode,
              bits_per_voxel=2 * tree.num_active_nodes / brick.size,
              max_err=float(err.max()), mean_err=float(err.mean()),
              resident_bytes=int(resident),

@@ -505,3 +505,42 @@ def test_interpret_pooled_narrow_parity():
     # the two pool kernels compile separately, so fma/fusion choices may
     # differ by 1 ulp on ~1% of pixels — same-within-ulp, not bit-equal
     np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_o), atol=2e-7)
+
+
+def test_interpret_phased_march_parity():
+    """The phase-replanned iso march (round 5: word tables rebuilt between
+    phases with dead lane groups' bound bits masked) produces the same hit
+    set and hit steps as the single-launch march, including across
+    boundaries that fall inside sampled runs and inside skipped gaps."""
+    import jax.numpy as jnp
+    from volumerenderer_tpu.ops.pallas import isosurface_kernel as IK
+    from volumerenderer_tpu.io.synthetic import sphere_volume
+
+    rng = np.random.default_rng(3)
+    Z, Y, X = 16, 16, 128
+    base = np.asarray(sphere_volume((Z, Y, X), radius=0.35, soft=0.3))
+    noise = rng.random((Z, Y, X)).astype(np.float32) * 0.3
+    vol = as_normalized_volume(
+        np.round(np.clip(base + noise, 0, 1) * 255.0).astype(np.uint8))
+    rays = _rays()
+    iso = 0.5
+    with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
+        plan = IK.IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
+                                 (X, Y, Z), max_samples=24)
+        assert plan.use_kernel and plan.group > 1
+        words = plan.bind(vol, iso)
+        assert plan.gwords is not None
+        iso255 = jnp.full((1, 1), iso * 255.0, jnp.float32)
+        f_ref, t_ref, _ = IK._launch_group(
+            plan.rays_packed, words, vol, iso255, plan.dims,
+            plan.max_samples + 1, win_z=plan.win_z, win_y=plan.win_y,
+            group=plan.group, lanes=plan.lanes, xwords=plan.xwords,
+            state0=plan.state0)
+        for bounds in ((3,), (2, 5), (1, 2, 3)):
+            f_p, t_p = IK.march_phased(
+                plan.rays_packed, words, plan.gwords, plan.state0,
+                plan.texit, vol, iso255, plan.dims, plan.max_samples + 1,
+                plan.win_z, plan.win_y, plan.group, plan.lanes,
+                xwords=plan.xwords, boundaries=bounds)
+            np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_ref))
+            np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_ref))

@@ -45,24 +45,27 @@ ISO_LANE_GROUPS_DEFAULT = 4  # the iso march is sampling-row-bound (PERF_
 # hit-row packing caps at 2G <= 8 rows — keep G <= 4 pending a G=8 sweep
 
 
-def _iso_kernel_group(rays_ref, org_ref, vol_ref, iso_ref, out_ref,
+def _iso_kernel_group(rays_ref, org_ref, st_ref, vol_ref, iso_ref, out_ref,
                       slab, state, sem, *, dims, n_pos, win_z, k, win_y=WIN_Y,
                       t_per=T_PER, G=1):
     """Grouped + lane-grouped + cross-tile-pipelined isosurface march (same
     machinery as ``raycast_kernel._march_tiles_group``): k positions per DMA
     window, G vregs of rays per tile, first windows prefetched one tile
-    ahead, pending ring DMAs carried across tiles."""
+    ahead, pending ring DMAs carried across tiles.  ``st_ref`` carries the
+    per-ray march state rows ([found, t_hit, latch, s_prev] per lane group
+    — ``make_fresh_state`` for a fresh march, or a previous launch's state
+    output for a phased resume)."""
     END = -(-n_pos // k)
     dma = _window_dma(vol_ref, slab, sem, None, False, win_z, win_y)
     _pipelined_tiles(
         org_ref, None, dma, END, t_per,
         lambda tile, mask: _iso_one_tile_group(
-            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+            rays_ref, org_ref, st_ref, vol_ref, out_ref, slab, state, sem,
             tile, mask, dims=dims, n_pos=n_pos, win_z=win_z,
             iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G))
 
 
-def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref,
+def _iso_kernel_group_narrow(rays_ref, org_ref, st_ref, xorg_ref, vol_ref,
                              iso_ref, out_ref, slab, state, sem, *, dims,
                              n_pos, win_z, k, win_y=WIN_Y, t_per=T_PER, G=1):
     """Narrow-x variant: 128-lane window panels chosen by the x word
@@ -73,14 +76,14 @@ def _iso_kernel_group_narrow(rays_ref, org_ref, xorg_ref, vol_ref,
     _pipelined_tiles(
         org_ref, xorg_ref, dma, END, t_per,
         lambda tile, mask: _iso_one_tile_group(
-            rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
+            rays_ref, org_ref, st_ref, vol_ref, out_ref, slab, state, sem,
             tile, mask, dims=dims, n_pos=n_pos, win_z=win_z,
             iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G,
             xorg_ref=xorg_ref))
 
 
 
-def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
+def _iso_one_tile_group(rays_ref, org_ref, st_ref, vol_ref, out_ref, slab,
                         state, sem, tile, mask, *, dims, n_pos, win_z, iso255,
                         k, win_y=WIN_Y, G=1, xorg_ref=None):
     """Crossing detection on the group march.  Per lane group g, state rows
@@ -125,22 +128,20 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
                           for g in range(G)], axis=0) for i in range(3)]
     d = [jnp.concatenate([rays_ref[tile, 8 * g + 3 + i:8 * g + 4 + i, :]
                           for g in range(G)], axis=0) for i in range(3)]
-    hit0 = jnp.concatenate([rays_ref[tile, 8 * g + 6:8 * g + 7, :]
-                            for g in range(G)], axis=0)
     # texr = min(texit, n_pos - 1): position t can anchor/complete a
     # crossing only if t <= texr (see raycast_kernel._footprint_scan)
     texr = jnp.concatenate([rays_ref[tile, 8 * g + 7:8 * g + 8, :]
                             for g in range(G)], axis=0)
     p0 = [e[i] + d[i] for i in range(3)]
-    in0 = ((p0[0] > 0.0) & (p0[0] < 1.0) & (p0[1] > 0.0) & (p0[1] < 1.0)
-           & (p0[2] > 0.0) & (p0[2] < 1.0))
     state[0 * G:1 * G, :] = p0[0]
     state[1 * G:2 * G, :] = p0[1]
     state[2 * G:3 * G, :] = p0[2]
-    state[3 * G:4 * G, :] = jnp.full((G, 128), -1.0, jnp.float32)
-    state[4 * G:5 * G, :] = jnp.zeros((G, 128), jnp.float32)
-    state[5 * G:6 * G, :] = jnp.where((hit0 > 0.5) & in0, 1.0, 0.0)
-    state[6 * G:7 * G, :] = jnp.full((G, 128), -1.0, jnp.float32)
+    # march state from st_ref (rows: 0..G found, G..2G t_hit, 2G..3G latch,
+    # 3G..4G s_prev) — fresh or resumed, the kernel is identical
+    state[3 * G:4 * G, :] = st_ref[tile, 3 * G:4 * G, :]
+    state[4 * G:5 * G, :] = st_ref[tile, 0:G, :]
+    state[5 * G:6 * G, :] = st_ref[tile, 2 * G:3 * G, :]
+    state[6 * G:7 * G, :] = st_ref[tile, G:2 * G, :]
 
     narrow = xorg_ref is not None
     dma = _window_dma(vol_ref, slab, sem, None, narrow, win_z, win_y)
@@ -210,7 +211,10 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
         nd, _, _, _ = _unpack_word(w)
         _, oz_c, oy_c, _ = _unpack_word(pend)
         xeff = pendx & 0xFFFF
-        contig0 = k * t_cur == pi + 1
+        # the first processed window reads the s_prev ROW (self-describing:
+        # -1 fresh sentinel, a real value, or the phase driver's rewrite) —
+        # later windows use the word-chain adjacency as before
+        contig0 = (k * t_cur == pi + 1) | is_first
 
         def adv_body(i):
             advance()
@@ -268,9 +272,12 @@ def _iso_one_tile_group(rays_ref, org_ref, vol_ref, out_ref, slab,
     end = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), t0, jnp.int32(0), any0, pend0, pendx0, mask))
-    # out rows 0..G-1 = found, G..2G-1 = t_hit: the field-major state blocks
+    # out rows: 0..G found, G..2G t_hit, 2G..3G latch, 3G..4G s_prev —
+    # the same layout st_ref consumes, so a later phase resumes from it
     out_ref[tile, 0:G, :] = state[4 * G:5 * G, :]
     out_ref[tile, G:2 * G, :] = state[6 * G:7 * G, :]
+    out_ref[tile, 2 * G:3 * G, :] = state[5 * G:6 * G, :]
+    out_ref[tile, 3 * G:4 * G, :] = state[3 * G:4 * G, :]
     return end[6]
 
 
@@ -430,14 +437,18 @@ def _iso_one_tile(rays_ref, org_ref, vol_ref, out_ref, slab, state, sem,
 @functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_z",
                                              "win_y", "group", "lanes"))
 def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
-                  win_y=WIN_Y, group=2, lanes=1, xwords=None, gwords=None):
+                  win_y=WIN_Y, group=2, lanes=1, xwords=None, state0=None):
     """Grouped iso launch: k positions per window, G lane groups per tile,
     cross-tile DMA pipeline — the fast iso march (docs/PERF_NOTES.md round 3:
     the per-step kernel paid ~2 exposed DMA latencies and a full scalar loop
     per tile per step).  With ``xwords`` the windows are 128-lane narrow-x
     panels (``pack_pairs_narrow``) — half the bytes and a single-chunk
-    gather.  ``gwords`` carries the per-(tile, window, lane-group) bound
-    words (``build_iso_tables``); None = no per-group skipping."""
+    gather.  ``state0`` is the (tiles, 4G, 128) per-ray march state
+    (``make_fresh_state`` or a prior launch's state rows) — the phased
+    march resumes by passing a rebuilt word table + the previous state.
+
+    Returns (found, t_hit, state_out) with state_out in the same 4G-row
+    layout as ``state0``."""
     from .raycast_kernel import pack_pairs_narrow
 
     n_tiles = rays_packed.shape[0]
@@ -449,12 +460,13 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
     assert k > 1 and 1 <= G <= LANE_GROUPS_MAX, (k, G)
     assert rays_packed.shape[1] == 8 * G, rays_packed.shape
     assert words.shape == (n_tiles, n_words), (words.shape, n_words)
-    del gwords  # per-group bits refine the WORD table at build time only —
-    # in-kernel predication was measured out (module docstring)
+    assert state0 is not None and state0.shape == (n_tiles, 4 * G, 128),         None if state0 is None else state0.shape
     word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
                              memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((t_per, 4 * G, 128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     iso_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
     if narrow:
@@ -464,26 +476,27 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
         kernel = functools.partial(_iso_kernel_group_narrow, dims=dims,
                                    n_pos=n_pos, win_z=win_z, k=k,
                                    win_y=win_y, t_per=t_per, G=G)
-        in_specs = [ray_spec, word_spec, word_spec,
+        in_specs = [ray_spec, word_spec, st_spec, word_spec,
                     pl.BlockSpec(memory_space=pl.ANY), iso_spec]
-        operands = (rays_packed, words, xwords, vol_pairs, iso255)
+        operands = (rays_packed, words, state0, xwords, vol_pairs, iso255)
     else:
         vol_pairs = pack_pairs(volume)
         slab_w = dims[0]
         kernel = functools.partial(_iso_kernel_group, dims=dims, n_pos=n_pos,
                                    win_z=win_z, k=k, win_y=win_y,
                                    t_per=t_per, G=G)
-        in_specs = [ray_spec, word_spec,
+        in_specs = [ray_spec, word_spec, st_spec,
                     pl.BlockSpec(memory_space=pl.ANY), iso_spec]
-        operands = (rays_packed, words, vol_pairs, iso255)
+        operands = (rays_packed, words, state0, vol_pairs, iso255)
+    out_rows = max(8, 4 * G)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles // t_per,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((t_per, max(8, 2 * G), 128),
+        out_specs=pl.BlockSpec((t_per, out_rows, 128),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, max(8, 2 * G), 128),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, out_rows, 128),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, win_z, win_y, slab_w), jnp.float32),
@@ -491,7 +504,110 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )(*operands)
-    return out[:, 0:G, :], out[:, G:2 * G, :]
+    return out[:, 0:G, :], out[:, G:2 * G, :], out[:, 0:4 * G, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "G"))
+def make_fresh_state(entry_uv, direction, hit, dims, G):
+    """(tiles, 4G, 128) march-state rows for a fresh march: found=0,
+    t_hit=-1, latch=hit & inside(pos 0), s_prev=-1.  ``inside(pos 0)`` is
+    computed with the identical f32 ops the kernel's position init uses
+    (entry + step), so the latch is bit-consistent."""
+    from .raycast_kernel import _tile_lanes
+
+    X, Y, Z = dims
+    step = direction * jnp.array([1.0 / X, 1.0 / Y, 1.0 / Z], jnp.float32)
+    p0 = entry_uv + step
+    in0 = jnp.all((p0 > 0.0) & (p0 < 1.0), axis=-1)
+    latch0 = _tile_lanes((hit & in0).astype(jnp.float32), G)
+    zeros = jnp.zeros_like(latch0)
+    neg1 = jnp.full_like(latch0, -1.0)
+    return jnp.concatenate([zeros, neg1, latch0, neg1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "a", "b"))
+def _phase_words(base_words, gwords, alive_bits, a, b, G):
+    """Phase-i word table: window p in [a, b) is sampled iff some lane
+    group has BOTH its bound bit set (``build_iso_tables``) and a ray that
+    can still cross (``alive_bits``, (tiles,) int32 bitmask; None = all).
+    The nd chain is rebuilt; oz/oy origins ride through from the base
+    words."""
+    T, P = base_words.shape
+    gmask = gwords & ((1 << G) - 1)
+    act = gmask if alive_bits is None else (gmask & alive_bits[:, None])
+    idx = jnp.arange(P, dtype=jnp.int32)
+    sampled = (act != 0) & ((base_words & 1) == 1) & (idx >= a) & (idx < b)
+    nxt = jnp.where(sampled, idx, jnp.int32(4 * P + 4))
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(nxt, axis=1), axis=1), axis=1)
+    after = jnp.concatenate(
+        [nxt[:, 1:], jnp.full((T, 1), 4 * P + 4, jnp.int32)], axis=1)
+    nd = jnp.where(after < P, after - idx, 0)
+    keep = base_words & ~((0x3FF << 20) | 1)
+    return (keep | (nd << 20) | sampled.astype(jnp.int32)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "phase_end", "n_pos"))
+def _alive_bits(state, texr, phase_end, n_pos, G):
+    """Per-tile lane-group bitmask of rays that can STILL cross after the
+    finished phase: latch set AND the crossable range (min(texit, n_pos-1))
+    extends past the phase's last position."""
+    latch_rows = state[:, 2 * G:3 * G, :]
+    tex = jnp.minimum(texr.astype(jnp.float32), float(n_pos - 1))
+    crossable = (latch_rows > 0.5) & (tex > float(phase_end))
+    return jnp.sum(
+        jnp.any(crossable, axis=2).astype(jnp.int32)
+        * (1 << jnp.arange(G, dtype=jnp.int32))[None, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "a"))
+def _rewrite_sprev(state, prev_words, new_words, a, G):
+    """Make the s_prev rows valid stand-ins at the next phase's first
+    window: keep the real row only where that window is chain-adjacent to
+    a window the previous phase actually sampled; otherwise the -1
+    sentinel is exact (every intervening window was skipped because every
+    still-crossable group's bound was < iso)."""
+    T = state.shape[0]
+    sampled_new = (new_words & 1) == 1
+    anyw = sampled_new.any(axis=1)
+    f = jnp.argmax(sampled_new, axis=1)
+    P = prev_words.shape[1]
+    prevbit = prev_words[jnp.arange(T), jnp.clip(f - 1, 0, P - 1)] & 1
+    flag = anyw & (f == a) & (f >= 1) & (prevbit == 1)
+    sprev = state[:, 3 * G:4 * G, :]
+    return state.at[:, 3 * G:4 * G, :].set(
+        jnp.where(flag[:, None, None], sprev, -1.0))
+
+
+def march_phased(rays_packed, words, gwords, state0, texr, volume, iso255,
+                 dims, n_pos, win_z, win_y, k, G, xwords=None,
+                 boundaries=(48, 104)):
+    """Phase-replanned iso march (round 5): split the march at static group
+    boundaries; between phases, rebuild the word table ON DEVICE with dead
+    lane groups' bound bits masked out (``_phase_words``), so drag-regime
+    windows whose crossable rays are all gone VANISH from the nd chain —
+    fine-grained early-out at word-table cost instead of in-kernel
+    predication (which measured out, see module docstring).  Exactness:
+    identical samples at every surviving (window, ray) pair; removed
+    windows provably cannot host a crossing for any still-crossable ray.
+
+    ``texr`` is the plan's (tiles, G, 128) leading-inside counts.  Returns
+    (found_t, t_hit_t)."""
+    P = -(-n_pos // k)
+    cuts = [0] + sorted(int(b) for b in boundaries if 0 < b < P) + [P]
+    st = state0
+    alive = None
+    prev_w = None
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        w_i = _phase_words(words, gwords, alive, a, b, G)
+        if prev_w is not None:
+            st = _rewrite_sprev(st, prev_w, w_i, a, G)
+        found_t, t_hit_t, st = _launch_group(
+            rays_packed, w_i, volume, iso255, dims, n_pos, win_z=win_z,
+            win_y=win_y, group=k, lanes=G, xwords=xwords, state0=st)
+        prev_w = w_i
+        if b < P:
+            alive = _alive_bits(st, texr, k * b - 1, n_pos, G)
+    return found_t, t_hit_t
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "max_samples", "win_z",
@@ -837,6 +953,8 @@ class IsosurfacePlan:
                 jnp.float32)
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
                                           G=G, t_exit=texr)
+            self.state0 = make_fresh_state(entry_uv, direction, hit,
+                                           self.dims, G)
 
     def bind(self, volume=None, iso_value=40.0 / 255.0, mip8=None):
         """Occupancy word table for this volume + isovalue (exact skipping).
@@ -894,13 +1012,20 @@ class IsosurfacePlan:
         if self.group > 1:
             # gwords only pair with their own bind's words (both derive from
             # the same volume+iso); a caller-supplied words table without a
-            # matching bind runs ungated
+            # matching bind marches unphased
             gwords = self.gwords if words is not self.words_dense else None
-            found_t, t_hit_t = _launch_group(
-                self.rays_packed, words, volume, iso255, self.dims,
-                self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
-                group=self.group, lanes=self.lanes, xwords=self.xwords,
-                gwords=gwords)
+            if gwords is not None:
+                found_t, t_hit_t = march_phased(
+                    self.rays_packed, words, gwords, self.state0, self.texit,
+                    volume, iso255, self.dims, self.max_samples + 1,
+                    self.win_z, self.win_y, self.group, self.lanes,
+                    xwords=self.xwords)
+            else:
+                found_t, t_hit_t, _ = _launch_group(
+                    self.rays_packed, words, volume, iso255, self.dims,
+                    self.max_samples + 1, win_z=self.win_z, win_y=self.win_y,
+                    group=self.group, lanes=self.lanes, xwords=self.xwords,
+                    state0=self.state0)
             if shade in ("auto", "kernel") and getattr(
                     self, "shade_kernel_ok", True):
                 return self._render_shaded_kernel(volume, found_t, t_hit_t,
