@@ -52,7 +52,7 @@ def main():
     words = [p.bind(vol, iso) for p in plans]
     phases = os.environ.get("VR_ISO_PHASES")  # e.g. "48,104"; "" = single
     boundaries = tuple(int(x) for x in phases.split(",") if x) \
-        if phases is not None else (48, 104)
+        if phases is not None else ()
     packs = [(p.rays_packed, w, p.xwords, p.gwords, p.state0, p.texit)
              for p, w in zip(plans, words)]
 

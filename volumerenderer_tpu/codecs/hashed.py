@@ -502,77 +502,104 @@ def level_cut_device_hashed(tree: HashedKdTree, dev: dict,
     keys_dev = jnp.asarray(k_np.astype(np.int64 if deepest > 31
                                        else np.uint32))
 
-    def lookup(mcodes):
-        key = (mcodes & jnp.asarray(mask, mdtype)).astype(jnp.int32)
-        code = dev["tree_data"][key]
-        children = dev["tree_structure"][key]
-        is_coll = code == 3
-        # sorted-search into the collision key list (keys are unique)
-        pos = jnp.searchsorted(keys_dev, mcodes)
-        pos = jnp.clip(pos, 0, max(len(k_np) - 1, 0))
-        if len(k_np):
-            cidx = dev["coll_vals"][pos]
-            code = jnp.where(is_coll, dev["coll_data"][cidx], code)
-            children = jnp.where(is_coll, dev["coll_structure"][cidx], children)
-        return code, children
+    # ONE jit for the whole level sweep (round 5: the eager per-op form
+    # paid the axon tunnel's ~ms dispatch cost for each of ~400 ops — the
+    # full-size config-4 decode measured 495 s of mostly dispatch).  The
+    # final leaves->volume transpose stays EAGER: under jit, (2,)*D-shaped
+    # intermediates pick up ~128x tiling padding on deep trees (see
+    # codecs/device.py tree_occupancy_mip8).
+    def _sweep(dev_arrs, keys_arr):
+        return _hashed_sweep_body(dev_arrs, keys_arr)
 
-    def apply_code(parent_scalar, code, depth):
-        s = jnp.where(code == 1, jnp.minimum(255, parent_scalar + dm[depth]),
-                      jnp.where(code == 2,
-                                jnp.maximum(0, parent_scalar - dm[depth]),
-                                parent_scalar))
-        return s
+    def _hashed_sweep_body(dev_arrs, keys_arr):
+        dm = dev_arrs["distance_map"]
 
-    # dense sweep over depths 0..D: at depth d, arrays of size 2^d indexed by
-    # path; active = reachable through the structure gates
-    scalars = jnp.zeros(1, jnp.int32)
-    active = jnp.ones(1, bool)
-    frozen_scalar = jnp.zeros(1, jnp.int32)  # value filled at termination
-    filled = jnp.zeros(1, bool)
-    leaf_scalars = None
-    for d in range(0, min(cut_depth, D) + 1):
-        mcodes = jnp.arange(1 << d, dtype=mdtype) + jnp.asarray(1 << d, mdtype)
-        code, children = lookup(mcodes)
-        s = apply_code(scalars, code, d)
-        terminal = active & ((children == 0) | (d == cut_depth))
-        frozen_scalar = jnp.where(terminal, s, frozen_scalar)
-        filled = filled | terminal
-        if d < min(cut_depth, D):
-            go_left = active & ~terminal & ((children == 3) | (children == 1))
-            go_right = active & ~terminal & ((children == 3) | (children == 2))
-            nxt_active = jnp.stack([go_left, go_right], 1).reshape(-1)
-            scalars = jnp.repeat(s, 2)
-            active = nxt_active
-            frozen_scalar = jnp.repeat(frozen_scalar, 2)
-            filled = jnp.repeat(filled, 2)
+        def lookup(mcodes):
+            key = (mcodes & jnp.asarray(mask, mdtype)).astype(jnp.int32)
+            code = dev_arrs["tree_data"][key]
+            children = dev_arrs["tree_structure"][key]
+            is_coll = code == 3
+            # sorted-search into the collision key list (keys are unique)
+            pos = jnp.searchsorted(keys_arr, mcodes)
+            pos = jnp.clip(pos, 0, max(len(k_np) - 1, 0))
+            if len(k_np):
+                cidx = dev_arrs["coll_vals"][pos]
+                code = jnp.where(is_coll, dev_arrs["coll_data"][cidx], code)
+                children = jnp.where(is_coll, dev_arrs["coll_structure"][cidx],
+                                     children)
+            return code, children
+
+        def apply_code(parent_scalar, code, depth):
+            return jnp.where(
+                code == 1, jnp.minimum(255, parent_scalar + dm[depth]),
+                jnp.where(code == 2,
+                          jnp.maximum(0, parent_scalar - dm[depth]),
+                          parent_scalar))
+
+        return _hashed_sweep_levels(lookup, apply_code)
+
+    def _hashed_sweep_levels(lookup, apply_code):
+        scalars = jnp.zeros(1, jnp.int32)
+        active = jnp.ones(1, bool)
+        frozen_scalar = jnp.zeros(1, jnp.int32)  # value filled at termination
+        filled = jnp.zeros(1, bool)
+        leaf_scalars = None
+        for d in range(0, min(cut_depth, D) + 1):
+            mcodes = jnp.arange(1 << d, dtype=mdtype) + jnp.asarray(1 << d, mdtype)
+            code, children = lookup(mcodes)
+            s = apply_code(scalars, code, d)
+            terminal = active & ((children == 0) | (d == cut_depth))
+            frozen_scalar = jnp.where(terminal, s, frozen_scalar)
+            filled = filled | terminal
+            if d < min(cut_depth, D):
+                go_left = active & ~terminal & ((children == 3) | (children == 1))
+                go_right = active & ~terminal & ((children == 3) | (children == 2))
+                nxt_active = jnp.stack([go_left, go_right], 1).reshape(-1)
+                scalars = jnp.repeat(s, 2)
+                active = nxt_active
+                frozen_scalar = jnp.repeat(frozen_scalar, 2)
+                filled = jnp.repeat(filled, 2)
+            else:
+                leaf_scalars = jnp.where(filled, frozen_scalar, s)
+                leaf_active = active & ~terminal
+        # expand to full leaf resolution if the sweep stopped above D
+        reached = min(cut_depth, D)
+        if reached < D:
+            rep = 1 << (D - reached)
+            leaf_scalars = jnp.repeat(jnp.where(filled, frozen_scalar, scalars), rep)
+            leaf_active = jnp.zeros(1 << D, bool)
+            leaf_codes_m = None
         else:
-            leaf_scalars = jnp.where(filled, frozen_scalar, s)
-            leaf_active = active & ~terminal
-    # expand to full leaf resolution if the sweep stopped above D
-    reached = min(cut_depth, D)
-    if reached < D:
-        rep = 1 << (D - reached)
-        leaf_scalars = jnp.repeat(jnp.where(filled, frozen_scalar, scalars), rep)
-        leaf_active = jnp.zeros(1 << D, bool)
-        leaf_codes_m = None
-    else:
-        # grown unary chains below D: each still-active leaf follows its
-        # structure-chosen child bit up to cut_depth
-        mcodes = jnp.arange(1 << D, dtype=mdtype) + jnp.asarray(1 << D, mdtype)
-        code, children = lookup(mcodes)
-        cur_m = mcodes
-        cur_children = children
-        s = leaf_scalars
-        act = leaf_active
-        for d in range(D + 1, min(cut_depth, tree.tree_depth) + 1):
-            bit = jnp.where(cur_children == 2, 1, 0).astype(mdtype)
-            cur_m = (cur_m << 1) | bit
-            code, children = lookup(cur_m)
-            s = jnp.where(act, apply_code(s, code, d), s)
-            terminal = act & ((children == 0) | (d == cut_depth))
-            act = act & ~terminal
+            # grown unary chains below D: each still-active leaf follows its
+            # structure-chosen child bit up to cut_depth
+            mcodes = jnp.arange(1 << D, dtype=mdtype) + jnp.asarray(1 << D, mdtype)
+            code, children = lookup(mcodes)
+            cur_m = mcodes
             cur_children = children
-        leaf_scalars = s
+            s = leaf_scalars
+            act = leaf_active
+            for d in range(D + 1, min(cut_depth, tree.tree_depth) + 1):
+                bit = jnp.where(cur_children == 2, 1, 0).astype(mdtype)
+                cur_m = (cur_m << 1) | bit
+                code, children = lookup(cur_m)
+                s = jnp.where(act, apply_code(s, code, d), s)
+                terminal = act & ((children == 0) | (d == cut_depth))
+                act = act & ~terminal
+                cur_children = children
+            leaf_scalars = s
+        return leaf_scalars.astype(jnp.uint8)
+
+    # cache the jitted sweep per (table identity, cut): the trace+remote-
+    # compile of the unrolled level graph dominates (112 s at 128³ even on
+    # a repeat call with a fresh closure); repeat decodes reuse it
+    cache = dev.setdefault("_sweep_jit_cache", {})
+    ckey = (cut_depth, tree.tree_depth, str(mdtype), len(k_np))
+    fn = cache.get(ckey)
+    if fn is None:
+        fn = jax.jit(_sweep)
+        cache[ckey] = fn
+    arrs = {k: v for k, v in dev.items() if k != "_sweep_jit_cache"}
+    leaves = fn(arrs, keys_dev)
 
     # leaves -> volume ON DEVICE (the reference decode writes boxes host-side,
     # HashedKdtree.cpp:254-336; here the inverse breadth-first permutation is
@@ -580,7 +607,6 @@ def level_cut_device_hashed(tree: HashedKdTree, dev: dict,
     # the kd-tree decoder's `_level_cut_impl`)
     from .kdtree import _leaf_axes_perm
 
-    leaves = leaf_scalars.astype(jnp.uint8)
     perm, (nz, ny, nx) = _leaf_axes_perm(X, Y, Z, split_schedule(X, Y, Z))
     inv = np.argsort(perm)
     return leaves.reshape((2,) * (nz + ny + nx)).transpose(inv).reshape(Z, Y, X)

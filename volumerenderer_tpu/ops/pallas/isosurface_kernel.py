@@ -580,7 +580,7 @@ def _rewrite_sprev(state, prev_words, new_words, a, G):
 
 def march_phased(rays_packed, words, gwords, state0, texr, volume, iso255,
                  dims, n_pos, win_z, win_y, k, G, xwords=None,
-                 boundaries=(48, 104)):
+                 boundaries=()):
     """Phase-replanned iso march (round 5): split the march at static group
     boundaries; between phases, rebuild the word table ON DEVICE with dead
     lane groups' bound bits masked out (``_phase_words``), so drag-regime
@@ -589,6 +589,13 @@ def march_phased(rays_packed, words, gwords, state0, texr, volume, iso255,
     predication (which measured out, see module docstring).  Exactness:
     identical samples at every surviving (window, ray) pair; removed
     windows provably cannot host a crossing for any still-crossable ray.
+
+    MEASURED OFF BY DEFAULT on the bench field (round 5): boundaries
+    (48,104) marched 128.5 ms vs 124.9 single-phase, (32,72,120) 129.7 —
+    with 128 coherent rays per lane group, one straggler keeps the whole
+    group alive, so too few windows vanish to cover the extra launch +
+    state-threading cost.  The machinery stays (parity-tested across
+    boundary placements) for fields/cameras where groups die together.
 
     ``texr`` is the plan's (tiles, G, 128) leading-inside counts.  Returns
     (found_t, t_hit_t)."""
