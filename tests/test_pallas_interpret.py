@@ -241,7 +241,10 @@ def test_interpret_pooled_isosurface_parity():
         plan = IsosurfacePlan(rays.entry_uv, rays.direction, rays.hit,
                               (X, Y, Z), max_samples=24, pooled=True)
         assert plan.use_kernel
-        pool, smap = RK.build_slab_pool(vol)
+        # grouped pooled plans (round 5) march the narrow pool; per-step
+        # fallback plans march the pair16 pool
+        pool, smap = (RK.build_slab_pool_narrow(vol) if plan.group > 1
+                      else RK.build_slab_pool(vol))
         shade_pool = build_shade_pool(vol)
         words = plan.bind(vol, iso)
         rgb_k, found_k = plan.render_pooled(pool, smap, iso, words=words,

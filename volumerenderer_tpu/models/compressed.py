@@ -111,24 +111,32 @@ class CompressedRenderer:
                                                        cut)
         return self._mip_cache[cut]
 
-    def slab_pool_at(self, cut_depth: int | None = None):
-        """(pool, slab_map) sparse-residency render state for the level cut
-        (``ops.pallas.raycast_kernel.build_slab_pool``): only z-slabs the
-        tree says are occupied stay HBM-resident — the compressed-domain
-        render state is the packed tree + this occupied-slab cache, with NO
-        dense pair volume on device (the dense decode is transient inside
-        the pool build and freed).  Residency comes from
-        ``tree_occupancy_mip8`` — codec metadata, zero dense pass."""
+    def slab_pool_at(self, cut_depth: int | None = None,
+                     fmt: str = "pair16"):
+        """(pool, slab_map) sparse-residency render state for the level cut:
+        only z-slabs the tree says are occupied stay HBM-resident — the
+        compressed-domain render state is the packed tree + this
+        occupied-slab cache, with NO dense pair volume on device (the dense
+        decode is transient inside the pool build and freed).  Residency
+        comes from ``tree_occupancy_mip8`` — codec metadata, zero dense
+        pass.  ``fmt``: "pair16" (``build_slab_pool``, low memory) or
+        "narrowf32" (``build_slab_pool_narrow``, dense-kernel-speed
+        marching at 4x the resident bytes — docs/PERF_NOTES.md
+        "Compressed-domain residency")."""
         cut = self.spec["max_depth"] if cut_depth is None else int(cut_depth)
-        if cut not in self._pool_cache:
-            from ..ops.pallas.raycast_kernel import build_slab_pool
+        key = (cut, fmt)
+        if key not in self._pool_cache:
+            from ..ops.pallas.raycast_kernel import (build_slab_pool,
+                                                     build_slab_pool_narrow)
 
+            build = build_slab_pool if fmt == "pair16" \
+                else build_slab_pool_narrow
             decoded = self._decoded(cut)
-            pool, smap = build_slab_pool(as_normalized_volume(decoded),
-                                         mip8=self.mip8_at(cut))
+            pool, smap = build(as_normalized_volume(decoded),
+                               mip8=self.mip8_at(cut))
             del decoded  # transient: not cached, freed with the jit buffers
-            self._pool_cache[cut] = (pool, smap)
-        return self._pool_cache[cut]
+            self._pool_cache[key] = (pool, smap)
+        return self._pool_cache[key]
 
     def shade_pool_at(self, cut_depth: int | None = None):
         """(pool, slab_map) sparse packed-neighborhood state for the
@@ -234,7 +242,8 @@ class CompressedRenderer:
                                       rays.hit, (X, Y, Z), max_samples,
                                       pooled=True)
                 if plan.use_kernel:
-                    pool, smap = self.slab_pool_at(cut_depth)
+                    fmt = "narrowf32" if plan.group > 1 else "pair16"
+                    pool, smap = self.slab_pool_at(cut_depth, fmt=fmt)
                     shade_pool = self.shade_pool_at(cut_depth)
                     words = plan.bind(iso_value=iso_value, mip8=mip) \
                         if skip_empty else None

@@ -85,7 +85,7 @@ def _iso_kernel_group_narrow(rays_ref, org_ref, st_ref, xorg_ref, vol_ref,
 
 def _iso_one_tile_group(rays_ref, org_ref, st_ref, vol_ref, out_ref, slab,
                         state, sem, tile, mask, *, dims, n_pos, win_z, iso255,
-                        k, win_y=WIN_Y, G=1, xorg_ref=None):
+                        k, win_y=WIN_Y, G=1, xorg_ref=None, map_ref=None):
     """Crossing detection on the group march.  Per lane group g, state rows
     at base 8g: 0-2 pos, 3 s_prev, 4 found, 5 latch (hit & inside(pos 0),
     cleared on found AND on cube exit — see below), 6 t_hit; rows 7G..8G
@@ -144,7 +144,7 @@ def _iso_one_tile_group(rays_ref, org_ref, st_ref, vol_ref, out_ref, slab,
     state[6 * G:7 * G, :] = st_ref[tile, G:2 * G, :]
 
     narrow = xorg_ref is not None
-    dma = _window_dma(vol_ref, slab, sem, None, narrow, win_z, win_y)
+    dma = _window_dma(vol_ref, slab, sem, map_ref, narrow, win_z, win_y)
     pslot = 2 + jax.lax.rem(tile, 2)
 
     def xword(t):
@@ -279,6 +279,25 @@ def _iso_one_tile_group(rays_ref, org_ref, st_ref, vol_ref, out_ref, slab,
     out_ref[tile, 2 * G:3 * G, :] = state[5 * G:6 * G, :]
     out_ref[tile, 3 * G:4 * G, :] = state[3 * G:4 * G, :]
     return end[6]
+
+
+def _iso_kernel_group_pooled_narrow(rays_ref, org_ref, st_ref, xorg_ref,
+                                    map_ref, vol_ref, iso_ref, out_ref, slab,
+                                    state, sem, *, dims, n_pos, win_z, k,
+                                    win_y=WIN_Y, t_per=T_PER, G=1):
+    """Grouped iso march over the NARROW slab pool
+    (``raycast_kernel.build_slab_pool_narrow``): the dense narrow kernel's
+    windows/tents with sparse HBM residency — replaces the per-step G=1
+    pooled iso kernel as the compressed-domain fast path (round 5)."""
+    END = -(-n_pos // k)
+    dma = _window_dma(vol_ref, slab, sem, map_ref, True, win_z, win_y)
+    _pipelined_tiles(
+        org_ref, xorg_ref, dma, END, t_per,
+        lambda tile, mask: _iso_one_tile_group(
+            rays_ref, org_ref, st_ref, vol_ref, out_ref, slab, state, sem,
+            tile, mask, dims=dims, n_pos=n_pos, win_z=win_z,
+            iso255=iso_ref[0, 0], k=k, win_y=win_y, G=G,
+            xorg_ref=xorg_ref, map_ref=map_ref))
 
 
 def _iso_kernel(rays_ref, org_ref, vol_ref, iso_ref, out_ref, slab, state,
@@ -504,6 +523,60 @@ def _launch_group(rays_packed, words, volume, iso255, dims, n_pos, win_z=4,
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )(*operands)
+    return out[:, 0:G, :], out[:, G:2 * G, :], out[:, 0:4 * G, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "n_pos", "win_z",
+                                             "win_y", "group", "lanes"))
+def _launch_group_pooled_narrow(rays_packed, words, xwords, pool, slab_map,
+                                iso255, dims, n_pos, win_z=4, win_y=WIN_Y,
+                                group=2, lanes=1, state0=None):
+    """Grouped iso march from the narrow slab pool: same returns as
+    ``_launch_group`` ((found, t_hit, state_out))."""
+    from .raycast_kernel import POOL_WIN_Z_MAX, SLAB_H
+
+    n_tiles = rays_packed.shape[0]
+    G = lanes
+    k = group
+    X, Y, Z = dims
+    t_per = _t_per(n_tiles)
+    n_words = -(-n_pos // k)
+    assert k > 1 and 1 <= G <= LANE_GROUPS_MAX, (k, G)
+    assert win_z <= POOL_WIN_Z_MAX, win_z
+    assert words.shape == (n_tiles, n_words), (words.shape, n_words)
+    assert xwords is not None and xwords.shape == (n_tiles, n_words)
+    assert pool.shape[0] == (2 * X) // 128 and pool.shape[2:] == (Y, 128), \
+        pool.shape
+    assert slab_map.shape == (1, Z // 8), slab_map.shape
+    assert state0 is not None and state0.shape == (n_tiles, 4 * G, 128)
+    word_spec = pl.BlockSpec((t_per, n_words), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((t_per, 8 * G, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((t_per, 4 * G, 128), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    iso_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    map_spec = pl.BlockSpec((1, Z // 8), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    kernel = functools.partial(_iso_kernel_group_pooled_narrow, dims=dims,
+                               n_pos=n_pos, win_z=win_z, k=k, win_y=win_y,
+                               t_per=t_per, G=G)
+    out_rows = max(8, 4 * G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // t_per,),
+        in_specs=[ray_spec, word_spec, st_spec, word_spec, map_spec,
+                  pl.BlockSpec(memory_space=pl.ANY), iso_spec],
+        out_specs=pl.BlockSpec((t_per, out_rows, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, out_rows, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((4, win_z, win_y, 128), jnp.float32),
+            pltpu.VMEM((8 * G, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(rays_packed, words, state0, xwords, slab_map, pool, iso255)
     return out[:, 0:G, :], out[:, G:2 * G, :], out[:, 0:4 * G, :]
 
 
@@ -864,9 +937,8 @@ class IsosurfacePlan:
         self.win_y = WIN_Y
         self.group = 1
         self.xwords = None
-        # the pooled launch still runs the per-step single-lane kernel
         if lane_groups is None:
-            G = 1 if pooled else ISO_LANE_GROUPS_DEFAULT
+            G = ISO_LANE_GROUPS_DEFAULT
             while G > 1 and W % (G * TILE_W) != 0:
                 G //= 2
         else:
@@ -898,16 +970,24 @@ class IsosurfacePlan:
             best = None  # (cost, k, win_z, win_y)
             wz1 = choose_win_z(span_z)
             wy1 = wy_for(span_y)
-            if not pooled:
-                for k in GROUP_KS:
-                    _, _, gs = group_unions(mins, maxs, n_pos, k=k)
-                    gwz = choose_win_z(int(gs[1]), cap=WIN_Z_GROUP_MAX)
-                    gwy = wy_for(int(gs[0]))
-                    if gwz is None or gwy is None or Z < gwz:
-                        continue
-                    cost = _group_cost(k, gwz, gwy, G)
-                    if best is None or cost < best[0]:
-                        best = (cost, k, gwz, gwy)
+            # pooled group marching sources windows from the NARROW slab
+            # pool (round 5): cap win_z to the pool's slab coverage and
+            # require narrow-fitting x spans; otherwise fall back to the
+            # per-step pooled kernel below
+            from .raycast_kernel import POOL_WIN_Z_MAX
+
+            wz_cap = POOL_WIN_Z_MAX if pooled else WIN_Z_GROUP_MAX
+            for k in GROUP_KS:
+                _, _, gs = group_unions(mins, maxs, n_pos, k=k)
+                gwz = choose_win_z(int(gs[1]), cap=wz_cap)
+                gwy = wy_for(int(gs[0]))
+                if gwz is None or gwy is None or Z < gwz:
+                    continue
+                if pooled and int(gs[2]) > NARROW_SPAN_X:
+                    continue
+                cost = _group_cost(k, gwz, gwy, G)
+                if best is None or cost < best[0]:
+                    best = (cost, k, gwz, gwy)
             if best is not None:
                 _, k, wz, wy = best
                 self.group = k
@@ -916,9 +996,10 @@ class IsosurfacePlan:
                 self.words_dense = build_word_table_group(
                     mins, maxs, self.dims, wz, n_pos, k=k, win_y=wy)
                 _, _, gsp = group_unions(mins, maxs, n_pos, k=k)
-                if not pooled and int(gsp[2]) <= NARROW_SPAN_X:
+                if int(gsp[2]) <= NARROW_SPAN_X:
                     # narrow-x windows: half the march DMA bytes and a
-                    # single-chunk lane gather (raycast_kernel machinery)
+                    # single-chunk lane gather (raycast_kernel machinery);
+                    # REQUIRED for the pooled group march (guarded above)
                     self.xwords = build_xword_table(mins, maxs, self.dims,
                                                     n_pos, k=k)
                 # shade pass geometry: COARSER step groups than the march
@@ -1090,12 +1171,22 @@ class IsosurfacePlan:
             words = self.words_dense
         H, W = self.shape
         iso255 = jnp.full((1, 1), iso_value * 255.0, jnp.float32)
-        found_t, t_hit_t = _launch_pooled(self.rays_packed, words, pool,
-                                          slab_map, iso255, self.dims,
-                                          self.max_samples, win_z=self.win_z,
-                                          win_y=self.win_y)
-        found = _untile(found_t, H, W) > 0.5
-        t_hit = _untile(t_hit_t, H, W)
+        if self.group > 1:
+            # grouped pooled march (round 5): dense-narrow kernel windows
+            # sourced from the narrow slab pool
+            assert pool.dtype == jnp.float32, \
+                "grouped pooled iso needs build_slab_pool_narrow's pool"
+            found_t, t_hit_t, _ = _launch_group_pooled_narrow(
+                self.rays_packed, words, self.xwords, pool, slab_map, iso255,
+                self.dims, self.max_samples + 1, win_z=self.win_z,
+                win_y=self.win_y, group=self.group, lanes=self.lanes,
+                state0=self.state0)
+        else:
+            found_t, t_hit_t = _launch_pooled(
+                self.rays_packed, words, pool, slab_map, iso255, self.dims,
+                self.max_samples, win_z=self.win_z, win_y=self.win_y)
+        found = _untile(found_t, H, W, self.lanes) > 0.5
+        t_hit = _untile(t_hit_t, H, W, self.lanes)
         spool, smap = shade_pool
         return _shade_pooled(spool, smap, self.entry_uv, self.direction,
                              found, t_hit, iso_value, self.dims)
