@@ -83,8 +83,58 @@ def config2(brick):
         dt_i, _ = timed(lambda: float(jnp.sum(render_isosurface(
             vol, rays.entry_uv, rays.direction, rays.hit)[0])))
         ipath = "jnp"
+
+    # per-config dispatch-vs-march breakdown (VERDICT round 4 weak #5): the
+    # single-frame numbers above include the host->device dispatch floor
+    # (~3 ms/executable on the axon dev tunnel, several per frame) which
+    # dominates a ~10 ms 512² frame; the STEADY rate times a 4-frame chain
+    # compiled as ONE program (frames data-chained through `acc * 0.0` so
+    # XLA cannot CSE them — x*0 is not foldable under IEEE NaN semantics)
+    extra = {}
+    if cpath == "kernel":
+        from volumerenderer_tpu.ops.pallas import raycast_kernel as RKm
+
+        packs = (cplan.rays_packed, cplan.words_dense, cplan.xwords)
+
+        @jax.jit
+        def csweep(v, packs):
+            rp, wd, xw = packs
+            acc = jnp.float32(0)
+            for _ in range(4):
+                c, a = RKm._launch(rp + acc * 0.0, wd, v, cplan.dims,
+                                   cplan.max_samples, win_z=cplan.win_z,
+                                   group=cplan.group, xwords=xw,
+                                   win_y=cplan.win_y, lanes=cplan.lanes)
+                acc = acc + jnp.sum(c) + jnp.sum(a)
+            return acc
+
+        dt4, _ = timed(lambda: float(csweep(vol, packs)))
+        extra["compositing_steady_rays_per_s"] = 512 * 512 / (dt4 / 4)
+        extra["compositing_dispatch_ms"] = (dt_c - dt4 / 4) * 1e3
+    if ipath == "kernel":
+        from volumerenderer_tpu.ops.pallas import isosurface_kernel as IKm
+
+        iso255 = jnp.full((1, 1), 40.0, jnp.float32)
+        ipacks = (iplan.rays_packed, words, iplan.xwords, iplan.state0)
+
+        @jax.jit
+        def isweep(v, ipacks):
+            rp, wd, xw, st = ipacks
+            acc = jnp.float32(0)
+            for _ in range(4):
+                f, t, _ = IKm._launch_group(
+                    rp + acc * 0.0, wd, v, iso255, iplan.dims,
+                    iplan.max_samples + 1, win_z=iplan.win_z,
+                    win_y=iplan.win_y, group=iplan.group, lanes=iplan.lanes,
+                    xwords=xw, state0=st)
+                acc = acc + jnp.sum(f) + jnp.sum(t)
+            return acc
+
+        dt4i, _ = timed(lambda: float(isweep(vol, ipacks)))
+        extra["iso_march_steady_rays_per_s"] = 512 * 512 / (dt4i / 4)
     emit(2, compositing_rays_per_s=512 * 512 / dt_c, compositing_path=cpath,
-         isosurface_rays_per_s=512 * 512 / dt_i, isosurface_path=ipath)
+         isosurface_rays_per_s=512 * 512 / dt_i, isosurface_path=ipath,
+         **extra)
 
 
 def config3(brick):
