@@ -40,9 +40,9 @@ from .raycast_kernel import (BIG, GROUP_KS, LANE_GROUPS_MAX, NARROW_SPAN_X,
                              tent_sample)
 
 
-ISO_LANE_GROUPS_DEFAULT = 4  # the iso march is sampling-row-bound (PERF_
-# NOTES round 4); wider tiles inflate union windows, and the shade pass's
-# hit-row packing caps at 2G <= 8 rows — keep G <= 4 pending a G=8 sweep
+ISO_LANE_GROUPS_DEFAULT = 4  # G=8 swept in round 5 and lost (4.72 vs 6.02
+# Mrays/s at the bench config — the union windows inflate faster than the
+# per-tile fixed cost amortizes; docs/PERF_NOTES.md round-5 G/k sweep)
 
 
 def _iso_kernel_group(rays_ref, org_ref, st_ref, vol_ref, iso_ref, out_ref,
