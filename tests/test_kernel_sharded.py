@@ -143,7 +143,8 @@ def test_zsharded_kernel_matches_jnp(n):
     mesh = make_z_mesh(n)
     with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24)
+                                  (X, Y, Z), max_samples=24,
+                                  win_z_cap=Z // n)
         assert plan.use_kernel and plan.group > 1
         assert seg_plan_ok(plan, n, Z // n), (plan.win_z, Z // n)
         rgb_k, a_k = render_zsharded_kernel(mesh, plan, vol)
@@ -171,7 +172,8 @@ def test_bricksharded_kernel_matches_jnp():
     mesh = make_brick_mesh((2, 2, 1))
     with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24)
+                                  (X, Y, Z), max_samples=24,
+                                  win_z_cap=Z // 2)
         assert plan.use_kernel and plan.group > 1
         assert seg_plan_ok(plan, 2, Z // 2, 2, Y // 2), \
             (plan.win_z, plan.win_y)
@@ -259,7 +261,8 @@ def test_bricksharded_tf_fit_matches_single_device():
     mesh = make_brick_mesh((2, 2, 1))
     with pltpu.force_tpu_interpret_mode(EAGER_INTERPRET):
         plan = RK.CompositingPlan(rays.entry_uv, rays.direction, rays.hit,
-                                  (X, Y, Z), max_samples=24)
+                                  (X, Y, Z), max_samples=24,
+                                  win_z_cap=Z // 2)
         assert plan.use_kernel and plan.group > 1
         assert seg_plan_ok(plan, 2, Z // 2, 2, Y // 2)
         new_s, loss_s = tf_fit_step_bricksharded(

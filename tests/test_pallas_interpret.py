@@ -79,7 +79,7 @@ def test_interpret_partial_last_group_parity(monkeypatch):
         _assert_parity(plan, vol, rays, 23)
 
 
-@pytest.mark.parametrize("k", [4, 8])
+@pytest.mark.parametrize("k", [3, 4, 8])
 def test_interpret_group_k_parity(k, monkeypatch):
     """k-step window groups (k samples per DMA window) are bit-consistent
     with the jnp march — positions advance one step at a time inside the

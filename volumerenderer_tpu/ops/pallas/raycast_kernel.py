@@ -1324,22 +1324,29 @@ LANE_GROUPS_DEFAULT = 4   # vregs of 128 rays per tile (CompositingPlan auto
 # ms/frame vs G8-ladder+narrow 11.50 / G8 no-narrow 14.26 — the apparent
 # early G8 win was an unnormalized-frame-count artifact
 # (docs/PERF_NOTES.md round 4).
-GROUP_KS = (16, 8, 4, 2)  # candidate steps-per-window (besides 1)
+GROUP_KS = (16, 8, 4, 3, 2)  # candidate steps-per-window (besides 1)
 WIN_Z_GROUP_MAX = 24      # group windows may be taller than per-step ones
 G8_WIN_Z_CAP = 17         # 8-lane-group windows past this lose to G=4 ones
-F_WINDOW_NS = 300.0       # modeled fixed cost per window (DMA issue + loop)
-C_SAMP_ROW_NS = 18.0      # modeled per-substep sampling cost per win_z row
+F_WINDOW_NS = 500.0       # modeled fixed cost per window (DMA issue + loop
+# scalars + the while-carry chain — the round-4 roofline's ~850 ns/window
+# residual with ~2 substeps puts the fixed share well above the sampling)
+C_SAMP_QUAD_NS = 0.9      # modeled per-substep sampling cost coefficient,
+# QUADRATIC in win_z (round-5 fit): a linear row model predicted k=4/8
+# should win the headline and they measured 75.4 vs 98.9 Mrays/s — taller
+# windows pay superlinearly (gather chunks, DMA, VMEM pressure, and the
+# early-exit waste of coarser groups).  The quadratic fit reproduces every
+# measured ordering: k3/wz9 > k2/wz8 > k4/wz10 >> k8/wz14 at G=4 (round
+# 5), and k4/wz8 > k2/wz6 at G=2 (round 3).
 
 
 def _group_cost(k: int, win_z: int, win_y: int = WIN_Y, G: int = 1) -> float:
     """Modeled cost per march step: the window-fixed share (DMA issue +
     loop scalars) amortizes over the k substeps AND is shared by all G lane
-    groups, while sampling scales with the window area (R = win_z * win_y
-    rows enter the tent-weight build, the lane gather, and the DMA) PER lane
-    group.  Constants recalibrated on the round-3 k×G sweep
-    (docs/PERF_NOTES.md: G=2 prefers k=4/win_z 8 over k=2/win_z 6, G=4
-    prefers k=2/win_z 8 over k=4/win_z 10 — both reproduced by this form)."""
-    return F_WINDOW_NS / k + C_SAMP_ROW_NS * win_z * (win_y / 16.0) * G
+    groups, while sampling scales superlinearly with the window height PER
+    lane group (see C_SAMP_QUAD_NS).  With the per-frame win_z/win_y
+    entering the cost, the planner picks k per camera."""
+    return (F_WINDOW_NS / k
+            + C_SAMP_QUAD_NS * win_z * win_z * (win_y / 16.0) * G)
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
@@ -1384,8 +1391,15 @@ class CompositingPlan:
 
     def __init__(self, entry_uv, direction, hit, dims,
                  max_samples: int = MAX_SAMPLES, pooled: bool = False,
-                 lane_groups: int | None = None, _ladder=None):
+                 lane_groups: int | None = None, win_z_cap: int | None = None,
+                 _ladder=None):
+        """``win_z_cap`` bounds the compiled window height — volume-sharded
+        launches (``parallel.kernel_sharded`` segment kernels) need windows
+        that fit one shard's z extent, so sharded callers plan with
+        ``win_z_cap = local_z`` instead of relying on the cost model to
+        happen to pick a short window."""
         self.entry_uv = entry_uv
+        self.win_z_cap = win_z_cap
         self.direction = direction
         self.hit = hit
         self.dims = tuple(int(d) for d in dims)
@@ -1437,6 +1451,8 @@ class CompositingPlan:
             # windows there so oblique frames ladder down to G=4
             wz_cap = POOL_WIN_Z_MAX if pooled else (
                 G8_WIN_Z_CAP if G >= 8 else WIN_Z_GROUP_MAX)
+            if win_z_cap is not None:
+                wz_cap = min(wz_cap, win_z_cap)
 
             def wy_for(sy):  # smallest window height covering the footprint
                 if sy <= 8 and Y % 8 == 0 and Y >= 8:
@@ -1447,7 +1463,7 @@ class CompositingPlan:
             wy1 = wy_for(span_y)
             if G == 1 and not pooled and wy1 is not None \
                     and Z >= max(4, span_z):
-                wz = choose_win_z(span_z)
+                wz = choose_win_z(span_z, cap=min(WIN_Z_MAX, wz_cap))
                 if wz is not None:
                     best = (_group_cost(1, wz, wy1, G), 1, wz, wy1, None)
             for k in GROUP_KS:
@@ -1481,7 +1497,8 @@ class CompositingPlan:
             # wide-tile footprints exceeded the window caps — step down the
             # lane-group ladder (e.g. 8 -> 4 -> 2 -> 1)
             self.__init__(entry_uv, direction, hit, dims, max_samples,
-                          pooled, lane_groups=None, _ladder=_ladder[1:])
+                          pooled, lane_groups=None, win_z_cap=win_z_cap,
+                          _ladder=_ladder[1:])
             return
         if self.use_kernel:
             self.rays_packed = _pack_rays(entry_uv, direction, hit, self.dims,
