@@ -1345,8 +1345,13 @@ def _group_cost(k: int, win_z: int, win_y: int = WIN_Y, G: int = 1) -> float:
     groups, while sampling scales superlinearly with the window height PER
     lane group (see C_SAMP_QUAD_NS).  With the per-frame win_z/win_y
     entering the cost, the planner picks k per camera."""
+    # coarser groups overshoot per-ray exits by (k-1)/2 substeps on
+    # average; on the ~13-step early-out regime that is a few-percent tax
+    # that decides near-ties toward smaller k (measured: pure k=3 beat the
+    # k3/k4 mix 98.9 vs 98.0 Mrays/s on the headline orbit)
+    waste = 1.0 + (k - 1) / 26.0
     return (F_WINDOW_NS / k
-            + C_SAMP_QUAD_NS * win_z * win_z * (win_y / 16.0) * G)
+            + C_SAMP_QUAD_NS * win_z * win_z * (win_y / 16.0) * G) * waste
 
 
 def spans_ok(entry_uv, direction, hit, dims, max_samples=MAX_SAMPLES) -> bool:
